@@ -1,0 +1,213 @@
+"""Core geometry ops: homogeneous transforms, pinhole projection, crop windows.
+
+TPU-native equivalents of the reference's geometry utilities
+(reference Utils.py:399-626, :752-855).  All device functions are pure
+`jax.numpy` with static shapes and batch-leading dims, so they fuse under jit.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+GLCAM_IN_CVCAM = np.diag([1.0, -1.0, -1.0, 1.0])  # reference Utils.py:68-71
+
+
+def to_homo(pts):
+    """(...,N,D) -> (...,N,D+1) append ones.  Mirrors Utils.py:511-526."""
+    ones = jnp.ones((*pts.shape[:-1], 1), dtype=pts.dtype)
+    return jnp.concatenate([pts, ones], axis=-1)
+
+
+def transform_pts(pts, tf):
+    """Transform points by homogeneous matrices.
+
+    @pts: (...,N,3);  @tf: (...,4,4) — broadcasting like reference
+    Utils.py:529-536 (a batch of tfs applied to a shared point set maps to
+    (...,B,N,3)).
+    """
+    if tf.ndim >= 3 and tf.shape[-3] != pts.shape[-2]:
+        tf = tf[..., None, :, :]
+    return (tf[..., :-1, :-1] @ pts[..., None] + tf[..., :-1, -1:])[..., 0]
+
+
+def transform_dirs(dirs, tf):
+    """Rotate direction vectors; mirrors Utils.py:539-546."""
+    if tf.ndim >= 3 and tf.shape[-3] != dirs.shape[-2]:
+        tf = tf[..., None, :, :]
+    return (tf[..., :3, :3] @ dirs[..., None])[..., 0]
+
+
+def depth2xyzmap(depth, K, zfar=jnp.inf):
+    """Back-project a depth map (H,W) to an xyz map (H,W,3) in camera frame.
+
+    Invalid (<1mm or >=zfar) pixels are zeroed.  Mirrors Utils.py:399-417.
+    """
+    H, W = depth.shape
+    us = jnp.arange(W, dtype=depth.dtype)[None, :]
+    vs = jnp.arange(H, dtype=depth.dtype)[:, None]
+    xs = (us - K[0, 2]) * depth / K[0, 0]
+    ys = (vs - K[1, 2]) * depth / K[1, 1]
+    xyz = jnp.stack([xs, ys, depth], axis=-1)
+    invalid = (depth < 0.001) | (depth >= zfar)
+    return jnp.where(invalid[..., None], 0.0, xyz)
+
+
+def depth2xyzmap_batch(depths, Ks, zfar=jnp.inf):
+    """(B,H,W), (B,3,3) -> (B,H,W,3).  Mirrors Utils.py:420-438."""
+    B, H, W = depths.shape
+    us = jnp.arange(W, dtype=depths.dtype)[None, None, :]
+    vs = jnp.arange(H, dtype=depths.dtype)[None, :, None]
+    fx = Ks[:, 0, 0][:, None, None]
+    fy = Ks[:, 1, 1][:, None, None]
+    cx = Ks[:, 0, 2][:, None, None]
+    cy = Ks[:, 1, 2][:, None, None]
+    xs = (us - cx) * depths / fx
+    ys = (vs - cy) * depths / fy
+    xyz = jnp.stack([xs, ys, depths], axis=-1)
+    invalid = (depths < 0.001) | (depths >= zfar)
+    return jnp.where(invalid[..., None], 0.0, xyz)
+
+
+def project_points(pts, K):
+    """(...,N,3) camera-frame points -> (...,N,2) pixel coords (u,v)."""
+    uvw = (K @ pts[..., None])[..., 0]
+    return uvw[..., :2] / uvw[..., 2:3]
+
+
+def projection_matrix_from_intrinsics(K, height, width, znear, zfar, window_coords="y_down"):
+    """Hartley-Zisserman K -> 4x4 OpenGL projection (host-side numpy).
+
+    Mirrors reference Utils.py:752-802 exactly.
+    """
+    w, h = width, height
+    depth = float(zfar - znear)
+    q = -(zfar + znear) / depth
+    qn = -2 * (zfar * znear) / depth
+    if window_coords == "y_up":
+        proj = np.array(
+            [
+                [2 * K[0, 0] / w, -2 * K[0, 1] / w, (-2 * K[0, 2] + w) / w, 0],
+                [0, -2 * K[1, 1] / h, (-2 * K[1, 2] + h) / h, 0],
+                [0, 0, q, qn],
+                [0, 0, -1, 0],
+            ]
+        )
+    elif window_coords == "y_down":
+        proj = np.array(
+            [
+                [2 * K[0, 0] / w, -2 * K[0, 1] / w, (-2 * K[0, 2] + w) / w, 0],
+                [0, 2 * K[1, 1] / h, (2 * K[1, 2] - h) / h, 0],
+                [0, 0, q, qn],
+                [0, 0, -1, 0],
+            ]
+        )
+    else:
+        raise NotImplementedError(window_coords)
+    return proj
+
+
+def compute_crop_window_tf_batch(poses, K, crop_ratio, out_size, mesh_diameter):
+    """Per-hypothesis 2-D crop transform ('box_3d' method).
+
+    Projects pose center ± mesh_radius*crop_ratio along x/y to the image,
+    takes the max pixel radius around the projected center, and builds a 3x3
+    transform mapping full-image pixel coords to out_size crop coords.
+    Mirrors reference Utils.py:577-626 including the rounding of the box
+    edges before scaling.
+
+    @poses: (B,4,4); @K: (3,3); @out_size: (W,H) of the crop.
+    Returns (B,3,3).
+    """
+    radius = mesh_diameter * crop_ratio / 2.0
+    offsets = jnp.asarray(
+        [[0, 0, 0], [radius, 0, 0], [-radius, 0, 0], [0, radius, 0], [0, -radius, 0]],
+        dtype=poses.dtype,
+    )  # (5,3)
+    pts = poses[:, None, :3, 3] + offsets[None]  # (B,5,3)
+    uvs = project_points(pts, K)  # (B,5,2)
+    center = uvs[:, 0]  # (B,2)
+    rad = jnp.max(jnp.abs(uvs - center[:, None, :]).reshape(poses.shape[0], -1), axis=-1)
+    left = jnp.round(center[:, 0] - rad)
+    right = jnp.round(center[:, 0] + rad)
+    top = jnp.round(center[:, 1] - rad)
+    bottom = jnp.round(center[:, 1] + rad)
+    B = poses.shape[0]
+    sx = out_size[0] / (right - left)
+    sy = out_size[1] / (bottom - top)
+    tf = jnp.zeros((B, 3, 3), dtype=poses.dtype)
+    tf = tf.at[:, 0, 0].set(sx)
+    tf = tf.at[:, 1, 1].set(sy)
+    tf = tf.at[:, 0, 2].set(-left * sx)
+    tf = tf.at[:, 1, 2].set(-top * sy)
+    tf = tf.at[:, 2, 2].set(1.0)
+    return tf
+
+
+def pose_to_egocentric_delta_pose(A_in_cam, B_in_cam):
+    """(B,4,4)x2 -> translation delta (B,3) and rotation delta (B,3,3).
+
+    Mirrors reference Utils.py:838-844.
+    """
+    trans_delta = B_in_cam[:, :3, 3] - A_in_cam[:, :3, 3]
+    rot_mat_delta = B_in_cam[:, :3, :3] @ jnp.swapaxes(A_in_cam[:, :3, :3], -1, -2)
+    return trans_delta, rot_mat_delta
+
+
+def egocentric_delta_pose_to_pose(A_in_cam, trans_delta, rot_mat_delta):
+    """Apply egocentric deltas; mirrors reference Utils.py:848-855."""
+    B = A_in_cam.shape[0]
+    out = jnp.tile(jnp.eye(4, dtype=A_in_cam.dtype)[None], (B, 1, 1))
+    out = out.at[:, :3, 3].set(A_in_cam[:, :3, 3] + trans_delta)
+    out = out.at[:, :3, :3].set(rot_mat_delta @ A_in_cam[:, :3, :3])
+    return out
+
+
+# ---------------------------------------------------------------- host-side --
+
+
+def compute_mesh_diameter(model_pts, n_sample=10000, seed=0):
+    """Max pairwise distance over a random subsample (host numpy).
+
+    Mirrors reference Utils.py:559-574 (the model_pts branch).
+    """
+    model_pts = np.asarray(model_pts)
+    if n_sample is not None and len(model_pts) > n_sample:
+        rng = np.random.RandomState(seed)
+        ids = rng.choice(len(model_pts), size=n_sample, replace=False)
+        pts = model_pts[ids]
+    else:
+        pts = model_pts
+    # chunked to bound memory
+    diameter = 0.0
+    for i in range(0, len(pts), 2048):
+        d = np.linalg.norm(pts[i : i + 2048, None] - pts[None], axis=-1)
+        diameter = max(diameter, float(d.max()))
+    return diameter
+
+
+def symmetry_tfs_from_info(info, rot_angle_discrete=5):
+    """BOP symmetry annotation -> (S,4,4) numpy. Mirrors Utils.py:806-834."""
+    from .lie import euler_matrix
+
+    symmetry_tfs = [np.eye(4)]
+    if "symmetries_discrete" in info:
+        tfs = np.array(info["symmetries_discrete"]).reshape(-1, 4, 4).copy()
+        tfs[..., :3, 3] *= 0.001
+        symmetry_tfs = [np.eye(4)] + list(tfs)
+    if "symmetries_continuous" in info:
+        axis = np.array(info["symmetries_continuous"][0]["axis"]).reshape(3)
+        offset = info["symmetries_continuous"][0]["offset"]
+        rxs, rys, rzs = [0], [0], [0]
+        if axis[0] > 0:
+            rxs = np.arange(0, 360, rot_angle_discrete) / 180.0 * np.pi
+        elif axis[1] > 0:
+            rys = np.arange(0, 360, rot_angle_discrete) / 180.0 * np.pi
+        elif axis[2] > 0:
+            rzs = np.arange(0, 360, rot_angle_discrete) / 180.0 * np.pi
+        for rx in rxs:
+            for ry in rys:
+                for rz in rzs:
+                    tf = euler_matrix(rx, ry, rz)
+                    tf[:3, 3] = offset
+                    symmetry_tfs.append(tf)
+    return np.array(symmetry_tfs)

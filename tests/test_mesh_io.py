@@ -1,0 +1,82 @@
+import numpy as np
+
+from sixdof_tpu.io import mesh_io
+
+
+def make_box_mesh():
+    v = np.array(
+        [
+            [0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+            [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1],
+        ],
+        dtype=np.float64,
+    )
+    f = np.array(
+        [
+            [0, 2, 1], [0, 3, 2], [4, 5, 6], [4, 6, 7],
+            [0, 1, 5], [0, 5, 4], [2, 3, 7], [2, 7, 6],
+            [1, 2, 6], [1, 6, 5], [3, 0, 4], [3, 4, 7],
+        ]
+    )
+    return mesh_io.TriMesh(v, f)
+
+
+def test_obj_roundtrip(tmp_path):
+    m = make_box_mesh()
+    m.vertex_colors = np.tile(np.array([[200, 100, 50.0]]), (8, 1))
+    p = str(tmp_path / "box.obj")
+    mesh_io.save_mesh(p, m)
+    m2 = mesh_io.load_mesh(p)
+    np.testing.assert_allclose(m2.vertices, m.vertices, atol=1e-6)
+    np.testing.assert_array_equal(m2.faces, m.faces)
+    np.testing.assert_allclose(m2.vertex_colors, m.vertex_colors, atol=1.0)
+
+
+def test_ply_mesh_roundtrip(tmp_path):
+    m = make_box_mesh()
+    p = str(tmp_path / "box.ply")
+    mesh_io.save_mesh(p, m)
+    m2 = mesh_io.load_mesh(p)
+    np.testing.assert_allclose(m2.vertices, m.vertices, atol=1e-5)
+    np.testing.assert_array_equal(m2.faces, m.faces)
+
+
+def test_ply_pointcloud_roundtrip(tmp_path, rng):
+    pts = rng.randn(100, 3)
+    colors = rng.rand(100, 3)
+    normals = rng.randn(100, 3)
+    normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+    pcd = mesh_io.PointCloud(pts, colors=colors, normals=normals)
+    p = str(tmp_path / "cloud.ply")
+    mesh_io.save_point_cloud(p, pcd)
+    pcd2 = mesh_io.load_point_cloud(p)
+    np.testing.assert_allclose(pcd2.points, pts, atol=1e-5)
+    np.testing.assert_allclose(pcd2.colors, colors, atol=1 / 255.0)
+    np.testing.assert_allclose(pcd2.normals, normals, atol=1e-5)
+
+
+def test_vertex_normals_box():
+    m = make_box_mesh()
+    vn = m.vertex_normals
+    np.testing.assert_allclose(np.linalg.norm(vn, axis=1), 1.0, atol=1e-9)
+    # corner normals of a cube point outward diagonally
+    assert np.dot(vn[0], np.array([-1, -1, -1]) / np.sqrt(3)) > 0.9
+
+
+def test_transform_and_sampling(rng):
+    m = make_box_mesh()
+    pts = m.sample_points(500)
+    assert len(pts) == 500
+    assert pts.points.min() >= -1e-9 and pts.points.max() <= 1 + 1e-9
+    tf = np.eye(4)
+    tf[:3, 3] = [1, 2, 3]
+    m.apply_transform(tf)
+    assert m.vertices.min() >= 1 - 1e-9
+
+
+def test_pointcloud_select_by_index(rng):
+    pcd = mesh_io.PointCloud(rng.randn(10, 3))
+    sel = pcd.select_by_index([0, 1, 2])
+    assert len(sel) == 3
+    inv = pcd.select_by_index([0, 1, 2], invert=True)
+    assert len(inv) == 7
