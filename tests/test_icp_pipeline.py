@@ -1,0 +1,114 @@
+"""End-to-end classical refinement on a synthetic scene (mm units)."""
+import numpy as np
+
+from sixdof_tpu.app import icp_pipeline as ip
+from sixdof_tpu.io.mesh_io import PointCloud
+from sixdof_tpu.ops.lie import euler_matrix
+
+ICP_PARAMS = {
+    "debug_vis": False,
+    "box": True,
+    "mesh": False,
+    "voxel_size": 2.0,
+    "preprocess_target": {"max_pcd": 4000, "fpfh_radius": 20, "fpfh_max_nn": 50},
+    "preprocess_source": {
+        "down_sample": 2.0,
+        "plane_removal": {"distance_threshold": 2.0, "num_iterations": 100},
+        "fpfh_radius": 20,
+        "fpfh_max_nn": 50,
+    },
+    "execute_global_registration": {
+        "distance_threshold": 10.0,
+        "correspondence_checkers": [{"value": 0.9}],
+        "angle_threshold": 0.52,
+        "ransac_criteria": {"iterations": 2000, "confidence": 0.999},
+    },
+    "refine_registration": {"distance_threshold": 5.0},
+    "run_icp": {"fitness_threshold": 0.9, "rmse_threshold": 2.0},
+}
+
+
+def make_object_cloud(rng, n=3000):
+    """Half-ellipsoid shell (object frame, mm)."""
+    phi = rng.rand(n) * 2 * np.pi
+    theta = rng.rand(n) * np.pi / 2
+    r = np.array([40.0, 30.0, 25.0])
+    pts = np.stack(
+        [
+            r[0] * np.sin(theta) * np.cos(phi),
+            r[1] * np.sin(theta) * np.sin(phi),
+            -r[2] * np.cos(theta),
+        ],
+        axis=-1,
+    )
+    return pts
+
+
+def make_scene(rng, true_tf):
+    """Plane + object-at-pose + background clutter, like a box scene."""
+    obj = make_object_cloud(rng, 4000)
+    obj_scene = obj @ true_tf[:3, :3].T + true_tf[:3, 3]
+    plane = np.concatenate(
+        [(rng.rand(3000, 2) - 0.5) * 400, np.zeros((3000, 1))], axis=-1
+    )
+    plane[:, 2] += rng.randn(3000) * 0.3
+    plane[:, 2] += true_tf[2, 3] + 25.0  # plane sits just below the object
+    scene = np.concatenate([obj_scene, plane])
+    return PointCloud(scene), PointCloud(plane.copy())
+
+
+def test_refine_pose_with_icp_converges(rng):
+    true_tf = euler_matrix(0.1, -0.05, 0.3)
+    true_tf[:3, 3] = [20.0, -10.0, 600.0]
+
+    source, background = make_scene(rng, true_tf)
+    target = PointCloud(make_object_cloud(rng, 5000))
+
+    # initial guess: translated/rotated a bit off; maps object->scene
+    init = true_tf.copy()
+    init[:3, 3] += [4.0, -3.0, 8.0]
+    init = init @ euler_matrix(0.02, 0.02, -0.03)
+
+    _, result, z_adj, _ = ip.refine_pose_with_icp(
+        source, target, background, init.copy(), ICP_PARAMS
+    )
+    est_obj_to_scene = np.linalg.inv(result.transformation)
+    t_err = np.linalg.norm(est_obj_to_scene[:3, 3] - true_tf[:3, 3])
+    r_err = np.linalg.norm(est_obj_to_scene[:3, :3] - true_tf[:3, :3])
+    assert result.fitness > 0.7
+    assert t_err < 3.0, f"translation error {t_err} mm"
+    assert r_err < 0.08, f"rotation error {r_err}"
+
+
+def test_improve_result_accepts_raw_matrix(rng):
+    true_tf = np.eye(4)
+    true_tf[:3, 3] = [0, 0, 500.0]
+    source, background = make_scene(rng, true_tf)
+    target = PointCloud(make_object_cloud(rng, 3000))
+    src_p, _, _ = ip.preprocess_source(source, background, ICP_PARAMS)
+    tgt_p, _ = ip.preprocess_target(target, ICP_PARAMS)
+    res = ip.improve_result(src_p, tgt_p, true_tf.copy(), ICP_PARAMS, n_restarts=8)
+    assert isinstance(res, ip.RegistrationResult)
+    assert res.fitness > 0.5
+
+
+def test_global_registration_roughly_aligns(rng):
+    from sixdof_tpu.ops import features as feat
+    from sixdof_tpu.ops import pointcloud as pc
+
+    true_tf = euler_matrix(0.3, 0.2, 1.0)
+    true_tf[:3, 3] = [30, -20, 50.0]
+    obj = make_object_cloud(rng, 1500)
+    src_pts = obj @ true_tf[:3, :3].T + true_tf[:3, 3]
+    source = PointCloud(src_pts)
+    target = PointCloud(make_object_cloud(rng, 1500))
+    pc.estimate_normals(source, radius=8, max_nn=12)
+    pc.estimate_normals(target, radius=8, max_nn=12)
+    sf = feat.compute_fpfh(source, radius=15.0, max_nn=40)
+    tf_feat = feat.compute_fpfh(target, radius=15.0, max_nn=40)
+    res = feat.execute_global_registration(source, target, sf, tf_feat, ICP_PARAMS)
+    # the RANSAC result maps source->target: should roughly invert true_tf
+    est = res.transformation
+    err = est @ true_tf  # should be ~identity
+    assert res.fitness > 0.2
+    assert np.linalg.norm(err[:3, 3]) < 25.0
