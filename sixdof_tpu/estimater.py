@@ -1,0 +1,212 @@
+"""FoundationPose engine: rotation-grid registration + frame-to-frame tracking.
+
+Public API mirrors the reference `estimater.py` class `FoundationPose`
+(reference estimater.py:16-266): `register(K, rgb, depth, ob_mask, iteration)`
+and `track_one(rgb, depth, K, iteration)` with identical conventions
+(meters, OpenCV color-camera frame, poses returned w.r.t. the ORIGINAL mesh
+origin via the centered-mesh compose at :231).
+
+TPU-first internals: depth preprocessing, hypothesis rendering, refinement
+iterations and scoring are jitted device programs; the host only guesses the
+initial translation from the mask (cheap numpy) and orchestrates.
+"""
+from __future__ import annotations
+
+import logging
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from .io.mesh_io import PointCloud, TriMesh
+from .models.predict import PoseRefinePredictor, ScorePredictor
+from .ops.depth_filter import bilateral_filter_depth, erode_depth
+from .ops.geometry import compute_mesh_diameter, depth2xyzmap
+from .ops.hypotheses import make_rotation_grid
+from .ops.pointcloud import voxel_down_sample
+from .ops.rasterize import make_mesh_arrays
+
+
+class FoundationPose:
+    def __init__(self, model_pts, model_normals, symmetry_tfs=None, mesh: TriMesh = None,
+                 scorer: ScorePredictor = None, refiner: PoseRefinePredictor = None,
+                 glctx=None, debug=0, debug_dir="debug/fp"):
+        self.gt_pose = None
+        self.ignore_normal_flip = True
+        self.debug = debug
+        self.debug_dir = debug_dir
+        os.makedirs(debug_dir, exist_ok=True)
+
+        self.reset_object(model_pts, model_normals, symmetry_tfs=symmetry_tfs, mesh=mesh)
+        self.make_rotation_grid(min_n_views=40, inplane_step=60)
+
+        self.scorer = scorer if scorer is not None else ScorePredictor()
+        self.refiner = refiner if refiner is not None else PoseRefinePredictor()
+        self.pose_last = None  # per the centered mesh
+
+    # ------------------------------------------------------------- setup --
+
+    def reset_object(self, model_pts, model_normals, symmetry_tfs=None, mesh: TriMesh = None):
+        """Center the mesh at its bbox center and build device tensors
+        (reference estimater.py:42-76)."""
+        max_xyz = mesh.vertices.max(axis=0)
+        min_xyz = mesh.vertices.min(axis=0)
+        self.model_center = (min_xyz + max_xyz) / 2
+        self.mesh_ori = mesh.copy()
+        mesh = mesh.copy()
+        mesh.vertices = mesh.vertices - self.model_center.reshape(1, 3)
+
+        model_pts = mesh.vertices
+        self.diameter = compute_mesh_diameter(model_pts=model_pts, n_sample=10000)
+        self.vox_size = max(self.diameter / 20.0, 0.003)
+        logging.info(f"self.diameter:{self.diameter}, vox_size:{self.vox_size}")
+        self.dist_bin = self.vox_size / 2
+        self.angle_bin = 20  # deg
+        pcd = PointCloud(model_pts, normals=np.asarray(mesh.vertex_normals))
+        pcd = voxel_down_sample(pcd, self.vox_size)
+        self.max_xyz = pcd.points.max(axis=0)
+        self.min_xyz = pcd.points.min(axis=0)
+        self.pts = jnp.asarray(pcd.points, dtype=jnp.float32)
+        nrm = pcd.normals / np.clip(np.linalg.norm(pcd.normals, axis=-1, keepdims=True), 1e-12, None)
+        self.normals = jnp.asarray(nrm, dtype=jnp.float32)
+        self.mesh = mesh
+        self.mesh_tensors = make_mesh_arrays(mesh)
+
+        if symmetry_tfs is None:
+            self.symmetry_tfs = np.eye(4)[None]
+        else:
+            self.symmetry_tfs = np.asarray(symmetry_tfs)
+        logging.info("reset done")
+
+    def get_tf_to_centered_mesh(self):
+        tf_to_center = np.eye(4)
+        tf_to_center[:3, 3] = -np.asarray(self.model_center)
+        return tf_to_center
+
+    def make_rotation_grid(self, min_n_views=40, inplane_step=60):
+        """(reference estimater.py:104-122)"""
+        rot_grid = make_rotation_grid(
+            min_n_views=min_n_views, inplane_step=inplane_step,
+            symmetry_tfs=self.symmetry_tfs, cluster_angle=30.0, cluster_dist=99999.0,
+        )
+        logging.info(f"after cluster, rot_grid:{rot_grid.shape}")
+        self.rot_grid = rot_grid
+
+    # ----------------------------------------------------------- helpers --
+
+    def guess_translation(self, depth, mask, K):
+        """Mask-center backprojection at median masked depth
+        (reference estimater.py:135-154)."""
+        vs, us = np.where(mask > 0)
+        if len(us) == 0:
+            logging.info("mask is all zero")
+            return np.zeros(3)
+        uc = (us.min() + us.max()) / 2.0
+        vc = (vs.min() + vs.max()) / 2.0
+        valid = (mask > 0) & (np.asarray(depth) >= 0.001)
+        if not valid.any():
+            logging.info("valid is empty")
+            return np.zeros(3)
+        zc = np.median(np.asarray(depth)[valid])
+        center = np.linalg.inv(K) @ np.array([uc, vc, 1.0]).reshape(3, 1) * zc
+        return center.reshape(3)
+
+    def generate_random_pose_hypo(self, K, rgb, depth, mask, scene_pts=None):
+        """(reference estimater.py:125-132)"""
+        ob_in_cams = self.rot_grid.copy()
+        center = self.guess_translation(depth=depth, mask=mask, K=K)
+        ob_in_cams[:, :3, 3] = center.reshape(1, 3)
+        return ob_in_cams
+
+    # ------------------------------------------------------------- infer --
+
+    def register(self, K, rgb, depth, ob_mask, ob_id=None, glctx=None, iteration=5):
+        """Global pose estimation over the rotation grid
+        (reference estimater.py:157-238)."""
+        logging.info("Welcome")
+        depth = jnp.asarray(np.asarray(depth), dtype=jnp.float32)
+        depth = erode_depth(depth, radius=2)
+        depth = bilateral_filter_depth(depth, radius=2)
+        depth_np = np.asarray(depth)
+
+        valid = (depth_np >= 0.001) & (np.asarray(ob_mask) > 0)
+        if valid.sum() < 4:
+            logging.info("valid too small, return")
+            pose = np.eye(4)
+            pose[:3, 3] = self.guess_translation(depth=depth_np, mask=ob_mask, K=K)
+            return pose
+
+        self.H, self.W = depth_np.shape[:2]
+        self.K = K
+        self.ob_id = ob_id
+        self.ob_mask = ob_mask
+
+        poses = self.generate_random_pose_hypo(K=K, rgb=rgb, depth=depth_np, mask=ob_mask)
+        logging.info(f"poses:{poses.shape}")
+
+        xyz_map = depth2xyzmap(depth, jnp.asarray(K, dtype=jnp.float32))
+        poses, vis = self.refiner.predict(
+            mesh=self.mesh, mesh_tensors=self.mesh_tensors, rgb=rgb, depth=depth,
+            K=K, ob_in_cams=poses, xyz_map=xyz_map, glctx=None,
+            mesh_diameter=self.diameter, iteration=iteration, get_vis=self.debug >= 2,
+        )
+        if vis is not None:
+            import cv2
+
+            cv2.imwrite(f"{self.debug_dir}/vis_refiner.png", vis[..., ::-1])
+
+        scores, vis = self.scorer.predict(
+            mesh=self.mesh, rgb=rgb, depth=depth, K=K, ob_in_cams=poses,
+            mesh_tensors=self.mesh_tensors, glctx=None, mesh_diameter=self.diameter,
+            get_vis=self.debug >= 2,
+        )
+
+        scores_np = np.asarray(scores)
+        ids = np.argsort(-scores_np)
+        poses_np = np.asarray(poses)[ids]
+        logging.info(f"sorted scores (top5): {scores_np[ids][:5]}")
+
+        best_pose = poses_np[0] @ self.get_tf_to_centered_mesh()
+        self.pose_last = poses_np[0]
+        self.best_id = ids[0]
+        self.poses = poses_np
+        self.scores = scores_np[ids]
+        return best_pose
+
+    def compute_add_err_to_gt_pose(self, poses):
+        """ADD error vs self.gt_pose over the downsampled model points.
+
+        The reference stubs this to -1 (estimater.py:241-245); we wire the
+        real metric when gt_pose is set, keeping -1 otherwise.
+        """
+        if self.gt_pose is None:
+            return -np.ones(len(poses))
+        from .metrics import add_err
+
+        model = np.asarray(self.pts)
+        return np.array([add_err(np.asarray(p), np.asarray(self.gt_pose), model) for p in poses])
+
+    def track_one(self, rgb, depth, K, iteration, extra={}):
+        """Single-hypothesis refinement from the previous frame's pose
+        (reference estimater.py:248-266)."""
+        if self.pose_last is None:
+            logging.info("Please init pose by register first")
+            raise RuntimeError
+        depth = jnp.asarray(np.asarray(depth), dtype=jnp.float32)
+        depth = erode_depth(depth, radius=2)
+        depth = bilateral_filter_depth(depth, radius=2)
+        logging.info("depth processing done")
+
+        xyz_map = depth2xyzmap(depth, jnp.asarray(K, dtype=jnp.float32))
+        pose, vis = self.refiner.predict(
+            mesh=self.mesh, mesh_tensors=self.mesh_tensors, rgb=rgb, depth=depth, K=K,
+            ob_in_cams=np.asarray(self.pose_last).reshape(1, 4, 4), xyz_map=xyz_map,
+            mesh_diameter=self.diameter, glctx=None, iteration=iteration,
+            get_vis=self.debug >= 2,
+        )
+        logging.info("pose done")
+        if self.debug >= 2:
+            extra["vis"] = vis
+        pose_np = np.asarray(pose).reshape(4, 4)
+        self.pose_last = pose_np
+        return pose_np @ self.get_tf_to_centered_mesh()

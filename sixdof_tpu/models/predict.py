@@ -1,0 +1,295 @@
+"""Refiner / scorer predictors: crop construction + iterative pose updates.
+
+Mirrors the reference predictors (learning/training/predict_pose_refine.py:93,
+predict_score.py:117) with the whole render->warp->network->update iteration
+fused into ONE jitted device program:
+
+- `make_crop_data_batch` (predict_pose_refine.py:26-89) becomes in-graph ops:
+  crop transforms (ops/geometry.py), hypothesis renders (ops/rasterize.py) and
+  real-image homography warps (ops/warp.py);
+- the refiner's python loop over iterations (predict_pose_refine.py:182-234)
+  becomes `lax.scan`;
+- the scorer's tournament while-loop degenerates to a single pass when the
+  batch covers all hypotheses (predict_score.py:206-213), which is exactly
+  what we jit;
+- chunked forward passes (bs=1024/512 in the reference) are unnecessary: the
+  hypothesis batch is one padded static array.
+
+The published checkpoints are not bundled with the reference snapshot; params
+initialize from a fixed seed unless a torch .pth (converted via
+models/torch_convert.py) or an orbax checkpoint is provided.
+"""
+from __future__ import annotations
+
+import functools
+import logging
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.geometry import (
+    compute_crop_window_tf_batch,
+    egocentric_delta_pose_to_pose,
+)
+from ..ops.lie import rotation_6d_to_matrix, so3_exp_map
+from ..ops.rasterize import MeshArrays, render_batch
+from ..ops.warp import warp_perspective
+from .networks import RefineNet, ScoreNetMultiPair
+
+DEFAULT_REFINER_CFG = dict(
+    input_resize=(160, 160),
+    crop_ratio=1.2,
+    use_normal=False,
+    use_BN=False,
+    c_in=6,
+    n_view=1,
+    trans_rep="tracknet",
+    rot_rep="axis_angle",
+    zfar=np.inf,
+    normalize_xyz=False,
+    # public FoundationPose refiner normalizers
+    trans_normalizer=0.02,
+    rot_normalizer=0.3490658503988659,  # 20 deg
+)
+
+DEFAULT_SCORER_CFG = dict(
+    input_resize=(160, 160),
+    crop_ratio=1.2,
+    use_normal=False,
+    use_BN=False,
+    c_in=6,
+    zfar=np.inf,
+    normalize_xyz=False,
+)
+
+
+def _make_AB(mesh, poses, rgb01, xyz_map, K, crop_ratio, mesh_diameter, out_hw,
+             normalize_xyz, invalid_z_thresh):
+    """Build the (A=render, B=real) 6-channel crop pair for a pose batch.
+
+    @rgb01: (H,W,3) in [0,1]; @xyz_map: (H,W,3) camera-frame meters.
+    Returns (A, B, tf_to_crops), NHWC.
+    """
+    tf_to_crops = compute_crop_window_tf_batch(
+        poses, K, crop_ratio=crop_ratio, out_size=(out_hw[1], out_hw[0]),
+        mesh_diameter=mesh_diameter,
+    )
+    rend = render_batch(mesh, poses, K, tf_to_crops, out_hw=out_hw, use_light=True)
+    rgbA = rend["color"]
+    xyzA = rend["xyz_map"]
+    rgbB = warp_perspective(rgb01, tf_to_crops, out_hw, mode="bilinear")
+    xyzB = warp_perspective(xyz_map, tf_to_crops, out_hw, mode="nearest")
+
+    center = poses[:, :3, 3][:, None, None, :]  # (B,1,1,3)
+    if normalize_xyz:
+        r = mesh_diameter / 2.0
+        invalidA = xyzA[..., 2:3] < invalid_z_thresh
+        invalidB = xyzB[..., 2:3] < invalid_z_thresh
+        xyzA = (xyzA - center) / r
+        xyzB = (xyzB - center) / r
+        xyzA = jnp.where(invalidA | (jnp.abs(xyzA) >= 2).any(-1, keepdims=True), 0.0, xyzA)
+        xyzB = jnp.where(invalidB | (jnp.abs(xyzB) >= 2).any(-1, keepdims=True), 0.0, xyzB)
+    else:
+        xyzA = xyzA - center
+        xyzB = xyzB - center
+    A = jnp.concatenate([rgbA, xyzA], axis=-1)
+    B = jnp.concatenate([rgbB, xyzB], axis=-1)
+    return A, B, tf_to_crops, rend
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "iterations", "out_hw", "normalize_xyz", "trans_rep", "rot_rep"),
+)
+def refine_poses_jit(
+    model,
+    params,
+    mesh: MeshArrays,
+    poses,
+    rgb01,
+    xyz_map,
+    K,
+    mesh_diameter,
+    crop_ratio,
+    trans_normalizer,
+    rot_normalizer,
+    iterations: int,
+    out_hw=(160, 160),
+    normalize_xyz=False,
+    trans_rep="tracknet",
+    rot_rep="axis_angle",
+):
+    """lax.scan of render->compare->update refinement iterations."""
+
+    def one_iter(poses, _):
+        A, B, _, _ = _make_AB(
+            mesh, poses, rgb01, xyz_map, K, crop_ratio, mesh_diameter, out_hw,
+            normalize_xyz, invalid_z_thresh=0.001,
+        )
+        out = model.apply({"params": params}, A, B)
+        if trans_rep == "tracknet":
+            if not normalize_xyz:
+                trans_delta = jnp.tanh(out["trans"]) * trans_normalizer
+            else:
+                trans_delta = out["trans"] * (mesh_diameter / 2.0)
+        else:
+            trans_delta = out["trans"]
+        if rot_rep == "axis_angle":
+            rot_mat_delta = jnp.swapaxes(
+                so3_exp_map(jnp.tanh(out["rot"]) * rot_normalizer), -1, -2
+            )
+        elif rot_rep == "6d":
+            rot_mat_delta = jnp.swapaxes(rotation_6d_to_matrix(out["rot"]), -1, -2)
+        else:
+            raise RuntimeError(rot_rep)
+        new_poses = egocentric_delta_pose_to_pose(poses, trans_delta, rot_mat_delta)
+        return new_poses, None
+
+    poses, _ = jax.lax.scan(one_iter, poses.astype(jnp.float32), None, length=iterations)
+    return poses
+
+
+@functools.partial(jax.jit, static_argnames=("model", "out_hw", "normalize_xyz"))
+def score_poses_jit(
+    model, params, mesh: MeshArrays, poses, rgb01, xyz_map, K, mesh_diameter,
+    crop_ratio, out_hw=(160, 160), normalize_xyz=False,
+):
+    """Single-pass hypothesis scoring (tournament degenerates to one pass)."""
+    A, B, _, _ = _make_AB(
+        mesh, poses, rgb01, xyz_map, K, crop_ratio, mesh_diameter, out_hw,
+        normalize_xyz, invalid_z_thresh=0.1,
+    )
+    out = model.apply({"params": params}, A, B, L=poses.shape[0])
+    # the winning pass gets +100 like scores_global[global_ids] = scores + 100
+    return out["score_logit"].reshape(-1) + 100.0
+
+
+class _PredictorBase:
+    def _init_params(self, model, example_inputs, ckpt_dir, convert_fn, seed=0):
+        if ckpt_dir and os.path.exists(ckpt_dir):
+            if ckpt_dir.endswith(".pth"):
+                from .torch_convert import load_torch_checkpoint
+
+                logging.info(f"Converting torch checkpoint {ckpt_dir}")
+                return jax.tree.map(jnp.asarray, convert_fn(load_torch_checkpoint(ckpt_dir)))
+            import orbax.checkpoint as ocp
+
+            logging.info(f"Loading orbax checkpoint {ckpt_dir}")
+            ckptr = ocp.StandardCheckpointer()
+            abstract = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), *example_inputs))
+            restored = ckptr.restore(os.path.abspath(ckpt_dir), abstract)
+            return restored["params"]
+        logging.info("No checkpoint found — initializing params from seed")
+        return model.init(jax.random.PRNGKey(seed), *example_inputs)["params"]
+
+
+class PoseRefinePredictor(_PredictorBase):
+    """Reference learning/training/predict_pose_refine.py:93-295 equivalent."""
+
+    def __init__(self, cfg: Optional[dict] = None, ckpt_dir: Optional[str] = None,
+                 compute_dtype=jnp.float32):
+        self.cfg = dict(DEFAULT_REFINER_CFG)
+        if cfg:
+            self.cfg.update(cfg)
+        self.model = RefineNet(
+            c_in=self.cfg["c_in"], rot_rep=self.cfg["rot_rep"], dtype=compute_dtype
+        )
+        hw = tuple(self.cfg["input_resize"])
+        dummy = jnp.zeros((1, hw[0], hw[1], self.cfg["c_in"]), dtype=jnp.float32)
+        from .torch_convert import convert_refine_net
+
+        self.params = self._init_params(self.model, (dummy, dummy), ckpt_dir, convert_refine_net)
+        self.last_trans_update = None
+        self.last_rot_update = None
+
+    def predict(self, rgb, depth, K, ob_in_cams, xyz_map, normal_map=None, get_vis=False,
+                mesh=None, mesh_tensors: MeshArrays = None, glctx=None, mesh_diameter=None,
+                iteration=5):
+        """@rgb: (H,W,3) uint8/float; @ob_in_cams: (N,4,4); returns (poses, vis)."""
+        rgb01 = jnp.asarray(np.asarray(rgb), dtype=jnp.float32)
+        if float(np.asarray(rgb).max(initial=0.0)) > 1.5:
+            rgb01 = rgb01 / 255.0
+        poses = refine_poses_jit(
+            self.model,
+            self.params,
+            mesh_tensors,
+            jnp.asarray(ob_in_cams, dtype=jnp.float32),
+            rgb01,
+            jnp.asarray(xyz_map, dtype=jnp.float32),
+            jnp.asarray(K, dtype=jnp.float32),
+            float(mesh_diameter),
+            float(self.cfg["crop_ratio"]),
+            float(self.cfg["trans_normalizer"]),
+            float(self.cfg["rot_normalizer"]),
+            iterations=int(iteration),
+            out_hw=tuple(self.cfg["input_resize"]),
+            normalize_xyz=bool(self.cfg["normalize_xyz"]),
+            trans_rep=self.cfg["trans_rep"],
+            rot_rep=self.cfg["rot_rep"],
+        )
+        vis = None
+        if get_vis:
+            vis = self._make_vis(mesh_tensors, poses, rgb01, xyz_map, K, mesh_diameter)
+        return poses, vis
+
+    def _make_vis(self, mesh_arrays, poses, rgb01, xyz_map, K, mesh_diameter):
+        from ..utils.vis import make_grid_image
+
+        A, B, _, _ = _make_AB(
+            mesh_arrays, poses, rgb01, jnp.asarray(xyz_map, dtype=jnp.float32),
+            jnp.asarray(K, dtype=jnp.float32), float(self.cfg["crop_ratio"]),
+            float(mesh_diameter), tuple(self.cfg["input_resize"]),
+            bool(self.cfg["normalize_xyz"]), 0.001,
+        )
+        rows = []
+        n = min(16, A.shape[0])
+        for i in range(n):
+            ra = np.asarray(A[i, ..., :3] * 255).astype(np.uint8)
+            rb = np.asarray(B[i, ..., :3] * 255).astype(np.uint8)
+            rows.append(make_grid_image([ra, rb], nrow=2))
+        return make_grid_image(rows, nrow=1)
+
+
+class ScorePredictor(_PredictorBase):
+    """Reference learning/training/predict_score.py:117-226 equivalent."""
+
+    def __init__(self, cfg: Optional[dict] = None, ckpt_dir: Optional[str] = None,
+                 compute_dtype=jnp.float32):
+        self.cfg = dict(DEFAULT_SCORER_CFG)
+        if cfg:
+            self.cfg.update(cfg)
+        self.model = ScoreNetMultiPair(c_in=self.cfg["c_in"], dtype=compute_dtype)
+        hw = tuple(self.cfg["input_resize"])
+        dummy = jnp.zeros((2, hw[0], hw[1], self.cfg["c_in"]), dtype=jnp.float32)
+        from .torch_convert import convert_score_net
+
+        self.params = self._init_params(
+            self.model, (dummy, dummy, 2), ckpt_dir, convert_score_net
+        )
+
+    def predict(self, rgb, depth, K, ob_in_cams, normal_map=None, get_vis=False, mesh=None,
+                mesh_tensors: MeshArrays = None, glctx=None, mesh_diameter=None):
+        rgb01 = jnp.asarray(np.asarray(rgb), dtype=jnp.float32)
+        if float(np.asarray(rgb).max(initial=0.0)) > 1.5:
+            rgb01 = rgb01 / 255.0
+        from ..ops.geometry import depth2xyzmap
+
+        xyz_map = depth2xyzmap(jnp.asarray(depth, dtype=jnp.float32),
+                               jnp.asarray(K, dtype=jnp.float32))
+        scores = score_poses_jit(
+            self.model,
+            self.params,
+            mesh_tensors,
+            jnp.asarray(ob_in_cams, dtype=jnp.float32),
+            rgb01,
+            xyz_map,
+            jnp.asarray(K, dtype=jnp.float32),
+            float(mesh_diameter),
+            float(self.cfg["crop_ratio"]),
+            out_hw=tuple(self.cfg["input_resize"]),
+            normalize_xyz=bool(self.cfg["normalize_xyz"]),
+        )
+        return scores, None
