@@ -275,6 +275,7 @@ def render_batch(
         return out
 
     # chunk the hypothesis batch to bound the (chunk, tri_chunk, H, W) temps
+    pose_chunk = min(pose_chunk, B)
     pad = (-B) % pose_chunk
     poses_p = jnp.concatenate([poses, jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (pad, 1, 1))])
     crops_p = jnp.concatenate([crop_tfs.astype(jnp.float32),

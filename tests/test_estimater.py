@@ -1,0 +1,108 @@
+"""FoundationPose engine smoke tests on the synthetic scene.
+
+The published network weights do not ship with the reference snapshot, so
+pose ACCURACY is not asserted here (that requires training, exercised in the
+trainer tests) — these tests pin down the machinery: shapes, conventions,
+depth preprocessing, hypothesis handling, and the centered-mesh compose.
+"""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCENE = os.path.join(REPO, "demo_data", "synth_box")
+
+
+@pytest.fixture(scope="module")
+def scene_dir():
+    if not os.path.exists(os.path.join(SCENE, "rgb", "rgb_0000.png")):
+        subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "make_demo_scene.py"), SCENE, "3"],
+            check=True,
+        )
+    return SCENE
+
+
+@pytest.fixture(scope="module")
+def small_estimator(scene_dir):
+    from sixdof_tpu.estimater import FoundationPose
+    from sixdof_tpu.io.mesh_io import load_mesh
+
+    mesh = load_mesh(os.path.join(scene_dir, "mesh", "model_scaled_down.obj"))
+    est = FoundationPose(model_pts=mesh.vertices, model_normals=mesh.vertex_normals, mesh=mesh)
+    # shrink the rotation grid so CPU tests stay fast
+    est.rot_grid = est.rot_grid[:8]
+    return est
+
+
+def _read_frame(scene_dir, i=0, shorter_side=120):
+    from sixdof_tpu.io.readers import DataReader
+
+    class Args:
+        debug = 0
+        box = None
+        mesh = None
+        voxel_size = None
+        shorter_side = 120
+
+    return DataReader(base_dir=scene_dir, shorter_side=shorter_side, arguments=Args())
+
+
+def test_reader_contract(scene_dir):
+    reader = _read_frame(scene_dir)
+    color = reader.get_color(0)
+    depth = reader.get_depth(0)
+    assert color.shape[:2] == depth.shape == (reader.color_H, reader.color_W)
+    assert 0.3 < np.median(depth[depth > 0]) < 1.0
+    mask = reader.get_mask(color, 0)
+    assert mask.shape == depth.shape and mask.sum() > 50
+    src = reader.get_source(0)
+    assert len(src) > 1000
+    hm, _, _, _ = reader.get_heatmap(reader.get_color(0))
+    assert hm.max() <= 1.0 and hm.min() >= 0.0
+    gt = reader.get_gt_pose(0)
+    assert gt.shape == (4, 4)
+
+
+def test_register_and_track_machinery(small_estimator, scene_dir):
+    est = small_estimator
+    reader = _read_frame(scene_dir)
+    color = reader.get_color(0)
+    depth = reader.get_depth(0)
+    mask = reader.get_mask(color, 0).astype(bool)
+
+    pose = est.register(K=reader.color_K, rgb=color, depth=depth, ob_mask=mask, iteration=1)
+    assert pose.shape == (4, 4)
+    # rotation block orthonormal
+    R = pose[:3, :3]
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-4)
+    # translation near the guessed center (object z ~0.55 m)
+    assert 0.3 < pose[2, 3] < 0.9
+
+    pose2 = est.track_one(rgb=color, depth=depth, K=reader.color_K, iteration=1)
+    assert pose2.shape == (4, 4)
+    # with an untrained refiner the update is tanh-bounded: translation moves
+    # at most trans_normalizer per iteration
+    assert np.linalg.norm(pose2[:3, 3] - pose[:3, 3]) < 0.05
+
+
+def test_guess_translation_matches_backprojection(small_estimator, scene_dir):
+    est = small_estimator
+    reader = _read_frame(scene_dir)
+    depth = reader.get_depth(0)
+    mask = reader.get_mask(reader.get_color(0), 0)
+    t = est.guess_translation(depth, mask, reader.color_K)
+    gt = reader.get_gt_pose(0)
+    assert np.linalg.norm(t - gt[:3, 3]) < 0.08
+
+
+def test_register_empty_mask_fallback(small_estimator, scene_dir):
+    est = small_estimator
+    reader = _read_frame(scene_dir)
+    depth = reader.get_depth(0)
+    empty = np.zeros_like(depth, dtype=bool)
+    pose = est.register(K=reader.color_K, rgb=reader.get_color(0), depth=depth, ob_mask=empty)
+    np.testing.assert_allclose(pose[:3, :3], np.eye(3), atol=1e-9)

@@ -1,0 +1,203 @@
+"""Synthesize a demo scene honoring the reference's on-disk contract.
+
+The reference repo's demo_data is not bundled, so tests/benches generate a
+hermetic scene (SURVEY.md §2.4 layout): a textured-ish object mesh placed in a
+box scene, RGB-D rendered with ops/rasterize.py, plus point clouds, masks,
+heatmap, and configs.  Frames orbit the camera slightly so tracking has
+motion.
+
+Usage: python tools/make_demo_scene.py [out_dir] [n_frames]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sixdof_tpu.utils import force_cpu  # noqa: E402
+
+force_cpu()  # full-frame scene renders are a one-off host-side fixture build
+
+import jax.numpy as jnp  # noqa: E402
+
+from sixdof_tpu.io.mesh_io import PointCloud, TriMesh, save_mesh, save_point_cloud  # noqa: E402
+from sixdof_tpu.ops.lie import euler_matrix  # noqa: E402
+from sixdof_tpu.ops.rasterize import make_mesh_arrays, render_batch  # noqa: E402
+
+
+def make_object_mesh(seed=0):
+    """Bumpy ellipsoid (meters; diameter ~0.09 m) with per-vertex colors."""
+    from sixdof_tpu.ops.hypotheses import icosphere
+
+    v, f = icosphere(subdivisions=3)
+    rng = np.random.RandomState(seed)
+    # smooth radial bumps from a few random spherical harmonics-ish lobes
+    dirs = rng.randn(6, 3)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    amp = 0.12 * np.cos(3 * (v @ dirs.T)).sum(axis=1) / 6
+    radii = np.array([0.045, 0.035, 0.03])
+    verts = v * (1.0 + amp)[:, None] * radii[None]
+    colors = (np.stack([
+        0.5 + 0.5 * v[:, 0], 0.5 + 0.5 * v[:, 1], 0.6 + 0.4 * np.abs(v[:, 2])
+    ], axis=-1) * 255).clip(0, 255)
+    return TriMesh(verts, f, vertex_colors=colors)
+
+
+def make_scene_plane(z=0.62, half=0.25):
+    v = np.array([[-half, -half, z], [half, -half, z], [half, half, z], [-half, half, z]])
+    f = np.array([[0, 1, 2], [0, 2, 3]])
+    colors = np.full((4, 3), 90.0)
+    return TriMesh(v, f, vertex_colors=colors)
+
+
+def merge(a: TriMesh, b: TriMesh) -> TriMesh:
+    return TriMesh(
+        np.concatenate([a.vertices, b.vertices]),
+        np.concatenate([a.faces, b.faces + len(a.vertices)]),
+        vertex_colors=np.concatenate([a.vertex_colors, b.vertex_colors]),
+    )
+
+
+def main(out_dir="demo_data/synth_box", n_frames=6, H=480, W=640, seed=0):
+    rng = np.random.RandomState(seed)
+    os.makedirs(out_dir, exist_ok=True)
+    for sub in ["rgb", "depth", "pcd", "masks", "mesh", "background", "heatmap", "configs",
+                "annotated_poses"]:
+        os.makedirs(f"{out_dir}/{sub}", exist_ok=True)
+
+    K = np.array([[600.0, 0, W / 2], [0, 600.0, H / 2], [0, 0, 1]])
+
+    obj = make_object_mesh(seed)
+    plane = make_scene_plane()
+
+    # object pose in the color camera (meters)
+    base_pose = euler_matrix(0.4, 0.2, 0.3)
+    base_pose[:3, 3] = [0.01, -0.02, 0.55]
+
+    # identity color<->depth extrinsics keep the synthetic scene simple
+    extr = {
+        "color_to_depth": {"rotation_matrix": np.eye(3).tolist(),
+                           "translation_vector": [[0.0, 0.0, 0.0]]},
+        "depth_to_color": {"rotation_matrix": np.eye(3).tolist(),
+                           "translation_vector": [[0.0, 0.0, 0.0]]},
+    }
+    with open(f"{out_dir}/configs/camera_extrinsics.json", "w") as f:
+        json.dump(extr, f, indent=2)
+    intr = {
+        "color": {"fx": K[0, 0], "fy": K[1, 1], "cx": K[0, 2], "cy": K[1, 2],
+                  "width": W, "height": H},
+        "depth": {"fx": K[0, 0], "fy": K[1, 1], "cx": K[0, 2], "cy": K[1, 2],
+                  "width": W, "height": H},
+    }
+    with open(f"{out_dir}/configs/camera_intrinsics.json", "w") as f:
+        json.dump(intr, f, indent=2)
+    icp_params = {
+        "debug_vis": False,
+        "box": True,
+        "mesh": False,
+        "voxel_size": 2.0,
+        "preprocess_target": {"max_pcd": 6000, "fpfh_radius": 20, "fpfh_max_nn": 60},
+        "preprocess_source": {
+            "down_sample": 2.0,
+            "plane_removal": {"distance_threshold": 2.0, "num_iterations": 100},
+            "fpfh_radius": 20,
+            "fpfh_max_nn": 60,
+        },
+        "execute_global_registration": {
+            "distance_threshold": 10.0,
+            "correspondence_checkers": [{"value": 0.9}],
+            "angle_threshold": 0.52,
+            "ransac_criteria": {"iterations": 4000, "confidence": 0.999},
+        },
+        "refine_registration": {"distance_threshold": 5.0},
+        "run_icp": {"fitness_threshold": 0.9, "rmse_threshold": 2.0},
+    }
+    with open(f"{out_dir}/configs/icp_parameters.json", "w") as f:
+        json.dump(icp_params, f, indent=2)
+
+    # meshes: model.obj + model.ply in mm, model_scaled_down.obj in meters
+    obj_mm = obj.copy()
+    obj_mm.vertices = obj_mm.vertices * 1000.0
+    save_mesh(f"{out_dir}/mesh/model.obj", obj_mm)
+    save_mesh(f"{out_dir}/mesh/model_scaled_down.obj", obj)
+    model_pcd = obj_mm.sample_points(20000, seed=1)
+    save_point_cloud(f"{out_dir}/mesh/model.ply", model_pcd)
+
+    # background: the plane cloud in mm (depth frame)
+    plane_pts = np.concatenate(
+        [(rng.rand(20000, 2) - 0.5) * 0.5, np.full((20000, 1), 0.62)], axis=-1
+    )
+    save_point_cloud(f"{out_dir}/background/box.ply", PointCloud(plane_pts * 1000.0))
+
+    # heatmap: gaussian blob, square array (contract: square, centered on color)
+    hm_size = 480
+    yy, xx = np.mgrid[0:hm_size, 0:hm_size]
+    # project the object center into the heatmap frame: the heatmap is the
+    # center square crop of the color image scaled to hm_size
+    scale = hm_size / min(H, W)
+    cx_full, cy_full = W / 2, H / 2
+    uvw = K @ base_pose[:3, 3]
+    u, v = uvw[0] / uvw[2], uvw[1] / uvw[2]
+    u_hm = (u - (cx_full - min(H, W) / 2)) * scale
+    v_hm = (v - (cy_full - min(H, W) / 2)) * scale
+    heatmap = np.exp(-(((xx - u_hm) ** 2 + (yy - v_hm) ** 2) / (2 * 18.0**2)))
+    np.save(f"{out_dir}/heatmap/0002.npy", heatmap.astype(np.float32))
+
+    import cv2
+
+    arrays_scene_obj = make_mesh_arrays(obj)
+    arrays_plane = make_mesh_arrays(plane)
+
+    poses = []
+    for i in range(n_frames):
+        # small camera orbit: perturb the object pose per frame
+        delta = euler_matrix(0.015 * i, -0.01 * i, 0.02 * i)
+        delta[:3, 3] = [0.002 * i, 0.001 * i, -0.003 * i]
+        pose = delta @ base_pose
+        poses.append(pose)
+
+        rend_o = render_batch(arrays_scene_obj, jnp.asarray(pose[None], dtype=jnp.float32),
+                              jnp.asarray(K, dtype=jnp.float32), None, out_hw=(H, W))
+        rend_p = render_batch(arrays_plane, jnp.asarray(np.eye(4, dtype=np.float32)[None]),
+                              jnp.asarray(K, dtype=jnp.float32), None, out_hw=(H, W))
+        do = np.asarray(rend_o["depth"][0])
+        dp = np.asarray(rend_p["depth"][0])
+        co = np.asarray(rend_o["color"][0])
+        cp = np.asarray(rend_p["color"][0])
+        obj_front = (do > 0) & ((dp <= 0) | (do < dp))
+        depth = np.where(obj_front, do, dp)
+        color = np.where(obj_front[..., None], co, cp)
+        # sensor-ish noise
+        noise = rng.randn(H, W) * 0.0015
+        depth = np.where(depth > 0, depth + noise, 0.0)
+        color = np.clip(color + rng.randn(H, W, 3) * 0.01, 0, 1)
+
+        cv2.imwrite(f"{out_dir}/rgb/rgb_{i:04d}.png", (color[..., ::-1] * 255).astype(np.uint8))
+        cv2.imwrite(f"{out_dir}/depth/depth_{i:04d}.png", (depth * 1000).astype(np.uint16))
+        if i == 0:
+            mask = (obj_front * 255).astype(np.uint8)
+            cv2.imwrite(f"{out_dir}/masks/0000.png", mask)
+        np.savetxt(f"{out_dir}/annotated_poses/{i:04d}.txt", pose.reshape(4, 4))
+
+        # scene cloud in mm (depth frame)
+        ys, xs = np.where(depth > 0)
+        sel = rng.choice(len(ys), size=min(len(ys), 60000), replace=False)
+        ys, xs = ys[sel], xs[sel]
+        z = depth[ys, xs]
+        px = (xs - K[0, 2]) * z / K[0, 0]
+        py = (ys - K[1, 2]) * z / K[1, 1]
+        cloud = np.stack([px, py, z], axis=-1) * 1000.0
+        save_point_cloud(f"{out_dir}/pcd/cloud_{i:04d}.ply", PointCloud(cloud))
+
+    print(f"wrote {n_frames} frames to {out_dir}")
+    return out_dir
+
+
+if __name__ == "__main__":
+    out = sys.argv[1] if len(sys.argv) > 1 else "demo_data/synth_box"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    main(out, n)
