@@ -203,7 +203,7 @@ def predict_z_axis_adjustment(source, target, initial_fp_transformation, param,
 
 
 def improve_result(source_processed, original_target_processed, current_result,
-                   parameter, n_restarts=50, seed=0, clouds=None):
+                   parameter, n_restarts=None, seed=0, clouds=None):
     """Parallel random-restart point-to-plane refinement.
 
     Mirrors the search distribution of reference src/pose_estimation.py:547-622
@@ -226,6 +226,9 @@ def improve_result(source_processed, original_target_processed, current_result,
 
     base_thresh = float(parameters["refine_registration"]["distance_threshold"])
     rng = np.random.RandomState(seed)
+    if n_restarts is None:
+        n_restarts = int(parameters.get("run_icp", {}).get("n_restarts", 50))
+    max_iter = int(parameters.get("run_icp", {}).get("max_iter", 30))
     K = n_restarts
     tfs = np.zeros((K, 4, 4), dtype=np.float32)
     thresholds = np.zeros(K, dtype=np.float32)
@@ -246,7 +249,7 @@ def improve_result(source_processed, original_target_processed, current_result,
 
     res = icp_ops.icp_batch(
         dc.src, dc.src_mask, dc.tgt, dc.tgt_normals, dc.tgt_mask,
-        jnp.asarray(tfs), jnp.asarray(thresholds), max_iter=30,
+        jnp.asarray(tfs), jnp.asarray(thresholds), max_iter=max_iter,
     )
     fit = np.asarray(res.fitness)
     rmse = np.asarray(res.inlier_rmse)
@@ -262,9 +265,15 @@ def improve_result(source_processed, original_target_processed, current_result,
     tf_all = np.concatenate([tf_all, best_transformation[None].astype(np.float32)])
 
     valid = (fit > 0) & (rmse > 0)
-    fit = np.where(valid, fit, -1.0)
-    order = np.lexsort((rmse, -fit))
-    best = order[0]
+    if not valid.any():
+        # nothing converged: keep the initial transform (reference keeps its
+        # running best rather than adopting a degenerate refinement)
+        best = len(fit) - 1
+        logging.info(":: No restart improved the result; keeping the initial transform")
+    else:
+        fit = np.where(valid, fit, -1.0)
+        order = np.lexsort((rmse, -fit))
+        best = order[0]
     logging.info(
         f":: Improved result: Fitness = {fit[best]:.4f}, RMSE = {rmse[best]:.4f} "
         f"(over {K} parallel restarts)"

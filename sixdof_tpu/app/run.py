@@ -1,0 +1,279 @@
+"""Application loop: pose registration + tracking + ICP + defect projection.
+
+Mirrors the reference `run.py:9-263` flow exactly (frame 0: register ->
+mm-scale -> extrinsic compose -> refine_pose_with_icp -> delta_pose memo ->
+ray_tracing -> Dash update; frames >=1: track_one -> capture-button branch or
+delta-pose dead reckoning; per-frame `debug/ob_in_cam/%04d.txt` dumps), with:
+
+- the live viewer thread on :8050 (app/web_vis.py, Dash-compatible API);
+- headless-safe debug vis (cv2 windows only when a display exists);
+- offline demo mode terminates at the end of the recorded sequence.
+"""
+from __future__ import annotations
+
+import argparse
+import copy
+import logging
+import os
+import threading
+import time
+from multiprocessing import Queue
+
+import numpy as np
+
+from ..estimater import FoundationPose
+from ..io.mesh_io import load_mesh
+from ..io.readers import DataReader
+from ..models.predict import PoseRefinePredictor, ScorePredictor
+from ..utils import set_logging_format, set_seed
+from ..utils.vis import draw_posed_3d_box, draw_xyz_axis
+from .defect_projection import create_heatmap_overlay, ray_tracing, save_overlay
+from .icp_pipeline import improve_result, preprocess_source, refine_pose_with_icp
+from .web_vis import ASSETS_DIR, run_dash_app, update_dash_data
+
+
+def transform_object(pcd_or_mesh, transformation):
+    out = pcd_or_mesh.copy()
+    out.transform(transformation)
+    return out
+
+
+def oriented_bounds(mesh):
+    """PCA oriented bounding box (trimesh.bounds.oriented_bounds equivalent,
+    reference run.py:28): returns (to_origin 4x4, extents 3)."""
+    pts = np.asarray(mesh.vertices)
+    c = pts.mean(axis=0)
+    q = pts - c
+    cov = q.T @ q
+    _, vecs = np.linalg.eigh(cov)
+    R = vecs[:, ::-1].T  # rows = principal axes, major first
+    if np.linalg.det(R) < 0:
+        R[2] *= -1
+    local = q @ R.T
+    mn, mx = local.min(axis=0), local.max(axis=0)
+    extents = mx - mn
+    to_origin = np.eye(4)
+    to_origin[:3, :3] = R
+    to_origin[:3, 3] = -(R @ c) - (mn + mx) / 2
+    return to_origin, extents
+
+
+def main(args):
+    data_queue = Queue()
+    capture_queue = Queue()
+    dash_thread = threading.Thread(
+        target=run_dash_app, args=(data_queue, capture_queue), daemon=True
+    )
+    if not args.no_server:
+        dash_thread.start()
+
+    mesh = load_mesh(f"{args.test_scene_dir}/mesh/model_scaled_down.obj")
+
+    debug = args.debug
+    debug_dir = args.debug_dir
+    os.makedirs(f"{debug_dir}/track_vis", exist_ok=True)
+    os.makedirs(f"{debug_dir}/ob_in_cam", exist_ok=True)
+
+    to_origin, extents = oriented_bounds(mesh)
+    bbox = np.stack([-extents / 2, extents / 2], axis=0).reshape(2, 3)
+
+    scorer = ScorePredictor(ckpt_dir=args.scorer_ckpt)
+    refiner = PoseRefinePredictor(ckpt_dir=args.refiner_ckpt)
+    est = FoundationPose(
+        model_pts=mesh.vertices, model_normals=mesh.vertex_normals, mesh=mesh,
+        scorer=scorer, refiner=refiner, debug_dir=debug_dir, debug=debug,
+    )
+    if args.max_hypotheses and len(est.rot_grid) > args.max_hypotheses:
+        step = len(est.rot_grid) // args.max_hypotheses
+        est.rot_grid = est.rot_grid[::step][: args.max_hypotheses]
+        logging.info(f"rotation grid capped to {len(est.rot_grid)} hypotheses")
+    logging.info("Estimator initialization done")
+
+    if args.demo:
+        reader = DataReader(base_dir=args.test_scene_dir, shorter_side=args.shorter_side,
+                            zfar=np.inf, arguments=args)
+    else:
+        from ..io.readers import KinectReader
+
+        logging.info("live demo")
+        reader = KinectReader(base_dir=args.test_scene_dir,
+                              capture_background=args.capture_background,
+                              shorter_side=args.shorter_side, zfar=np.inf, arguments=args)
+
+    has_display = bool(os.environ.get("DISPLAY"))
+
+    i = 0
+    intersection_pcds = []
+    detect_defect = False
+    frame_times = []
+
+    reader.update()
+    heatmap, color_original, heatmap_vis, _ = reader.get_heatmap(reader.get_color(i))
+    overlay = create_heatmap_overlay(color_original, heatmap_vis)
+    os.makedirs(ASSETS_DIR, exist_ok=True)
+    save_overlay(overlay, os.path.join(ASSETS_DIR, "overlay.png"))
+
+    target_processed = None
+    previous_transformation = np.eye(4)
+    delta_pose = np.eye(4)
+    current_transformation = np.eye(4)
+
+    n_frames = len(reader) if args.demo else float("inf")
+    max_frames = args.max_frames if args.max_frames else n_frames
+
+    while i < max_frames:
+        logging.info(f"i: {i}")
+        t0 = time.perf_counter()
+        reader.update()
+        color = reader.get_color(i if args.demo else None)
+        depth = reader.get_depth(i if args.demo else None)
+        source = reader.get_source(i if args.demo else None)
+        if color is None or depth is None:
+            continue
+        if i == 0:
+            mask = reader.get_mask(color, i).astype(bool)
+            pose = est.register(K=reader.color_K, rgb=color, depth=depth, ob_mask=mask,
+                                iteration=args.est_refine_iter)
+
+            pose_in_mm = reader.scale_translation_to_millimeters(pose)
+            initial_transformation = np.dot(reader.color_to_depth, pose_in_mm)
+
+            _, initial_icp_result, _, target_processed = refine_pose_with_icp(
+                source, reader.target, reader.background, initial_transformation,
+                reader.parameters,
+            )
+            delta_pose = np.linalg.inv(initial_transformation) @ np.linalg.inv(
+                initial_icp_result.transformation
+            )
+            current_transformation = initial_icp_result.transformation
+
+            target_mesh_copy = transform_object(
+                reader.target_mesh, np.linalg.inv(initial_icp_result.transformation)
+            )
+            defect_mesh_intersection_pcd, target_transformed = ray_tracing(
+                reader.base_dir, target_mesh_copy, heatmap, reader.color_pinhole,
+                heatmap_threshold=0.75,
+            )
+            defect_mesh_intersection_pcd.transform(reader.color_to_depth)
+            intersection_pcds.append(defect_mesh_intersection_pcd)
+
+            if debug >= 2:
+                save_overlay(overlay, save_path=f"{debug_dir}/overlay/overlay_{i}.png")
+            previous_transformation = initial_icp_result.transformation
+            update_dash_data(intersection_pcds, target_mesh_copy)
+        else:
+            pose = est.track_one(rgb=color, depth=depth, K=reader.color_K,
+                                 iteration=args.track_refine_iter)
+            pose_in_mm = reader.scale_translation_to_millimeters(pose)
+            initial_transformation = np.dot(reader.color_to_depth, pose_in_mm)
+
+            if not capture_queue.empty():
+                capture_queue.get()
+                detect_defect = True
+                logging.info("New Defect Detection initiated!")
+            if args.capture_every and i % args.capture_every == 0:
+                detect_defect = True
+
+            if detect_defect:
+                heatmap, color_original, heatmap_vis, _ = reader.get_heatmap(reader.get_color(i))
+                overlay = create_heatmap_overlay(color_original, heatmap_vis)
+                save_overlay(overlay, os.path.join(ASSETS_DIR, "overlay.png"))
+                source_processed, _, _ = preprocess_source(
+                    source, reader.background, reader.parameters, i=i
+                )
+                if debug >= 2:
+                    save_overlay(overlay, save_path=f"{debug_dir}/overlay/overlay_{i}.png")
+                current_result = improve_result(
+                    source_processed, target_processed, initial_transformation,
+                    reader.parameters,
+                )
+                current_transformation = current_result.transformation
+                delta_pose = np.linalg.inv(initial_transformation) @ np.linalg.inv(
+                    current_transformation
+                )
+                target_mesh_copy = transform_object(
+                    reader.target_mesh, np.linalg.inv(current_transformation)
+                )
+                relative_transformation = (
+                    np.linalg.inv(current_transformation) @ previous_transformation
+                )
+                new_intersection_pcd, transformed_target_mesh = ray_tracing(
+                    reader.base_dir, target_mesh_copy, heatmap, reader.color_pinhole,
+                    heatmap_threshold=0.75,
+                )
+                for pcd in intersection_pcds:
+                    pcd.transform(relative_transformation)
+                new_intersection_pcd.transform(reader.color_to_depth)
+                intersection_pcds.append(new_intersection_pcd)
+                previous_transformation = current_transformation
+                update_dash_data(intersection_pcds, target_mesh_copy)
+                detect_defect = False
+            else:
+                current_transformation = np.linalg.inv(initial_transformation @ delta_pose)
+
+        np.savetxt(f"{debug_dir}/ob_in_cam/{i:04d}.txt", pose.reshape(4, 4))
+        frame_times.append(time.perf_counter() - t0)
+
+        if debug >= 1:
+            center_pose = pose @ np.linalg.inv(to_origin)
+            vis = draw_posed_3d_box(reader.color_K, img=color.copy(), ob_in_cam=center_pose,
+                                    bbox=bbox)
+            vis = draw_xyz_axis(vis, ob_in_cam=center_pose, scale=0.1, K=reader.color_K,
+                                thickness=3, transparency=0, is_input_rgb=True)
+            if has_display:
+                import cv2
+
+                cv2.namedWindow("Tracking", cv2.WINDOW_NORMAL)
+                cv2.imshow("Tracking", vis[..., ::-1])
+                key = cv2.waitKey(1)
+                if key & 0xFF == ord("q"):
+                    print("Quitting...")
+                    break
+            if debug >= 2:
+                import cv2
+
+                cv2.imwrite(f"{debug_dir}/track_vis/{i:04d}.png", vis[..., ::-1])
+        i += 1
+
+    reader.stop_camera()
+    if frame_times:
+        fps = 1.0 / np.mean(frame_times[1:]) if len(frame_times) > 1 else 1.0 / frame_times[0]
+        logging.info(f"frames: {len(frame_times)}  mean FPS (excl. frame 0): {fps:.2f}")
+    return frame_times
+
+
+def build_parser():
+    parser = argparse.ArgumentParser()
+    code_dir = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    parser.add_argument("--mesh_file", type=str,
+                        default=f"{code_dir}/demo_data/synth_box/mesh/model_scaled_down.obj")
+    parser.add_argument("--test_scene_dir", type=str, default=f"{code_dir}/demo_data/synth_box")
+    parser.add_argument("--est_refine_iter", type=int, default=5)
+    parser.add_argument("--track_refine_iter", type=int, default=2)
+    parser.add_argument("--debug", type=int, default=1)
+    parser.add_argument("--debug_dir", type=str, default=f"{code_dir}/debug")
+    parser.add_argument("--shorter_side", type=int, default=None)
+    parser.add_argument("--demo", action="store_true", default=True)
+    parser.add_argument("--no-demo", dest="demo", action="store_false")
+    parser.add_argument("--icp", default=False, type=bool)
+    parser.add_argument("--info", default=True, type=bool)
+    parser.add_argument("--box", type=bool, default=None)
+    parser.add_argument("--mesh", type=bool, default=None)
+    parser.add_argument("--capture_background", type=bool, default=False)
+    parser.add_argument("--voxel_size", type=float, default=None)
+    parser.add_argument("--refiner_ckpt", type=str, default=None)
+    parser.add_argument("--scorer_ckpt", type=str, default=None)
+    parser.add_argument("--max_frames", type=int, default=None)
+    parser.add_argument("--capture_every", type=int, default=None,
+                        help="auto-trigger defect capture every N frames (headless demo)")
+    parser.add_argument("--no_server", action="store_true", help="skip the viewer thread")
+    parser.add_argument("--max_hypotheses", type=int, default=None,
+                        help="cap the rotation grid (speed/quality tradeoff)")
+    return parser
+
+
+if __name__ == "__main__":
+    args = build_parser().parse_args()
+    set_logging_format()
+    set_seed(0)
+    main(args)

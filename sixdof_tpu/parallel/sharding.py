@@ -1,0 +1,67 @@
+"""Device-mesh construction + sharding rules for multi-chip execution.
+
+The reference is single-GPU (SURVEY.md §2.3: torch.distributed imported but
+never used).  The TPU-native scale-out maps the workload's real parallel axes
+onto a `jax.sharding.Mesh`:
+
+- **hypothesis axis** (the 252-pose batch of register()) shards across chips
+  for render-and-compare — embarrassingly parallel, collective-free until the
+  final argmax;
+- **data axis** for training batches (DP, gradient psum over ICI);
+- **model axis** for tensor-parallel sharding of the 512-wide transformer /
+  conv channels (TP) — more than this net needs at 25M params, but wired so
+  the same code scales to larger heads.
+
+All sharding goes through NamedSharding/PartitionSpec; XLA inserts the
+collectives (all-reduce over `data`, all-gather/reduce-scatter over `model`).
+"""
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data=None, n_model=1, devices=None):
+    """(data, model) mesh over available devices."""
+    devices = devices if devices is not None else jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    devs = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(devs, axis_names=("data", "model"))
+
+
+def data_sharding(mesh):
+    """Shard the leading (batch / hypothesis) axis over `data`."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh):
+    return NamedSharding(mesh, P())
+
+
+def param_shardings(params, mesh, min_size=256):
+    """TP rule: shard the last (output-feature) dim of large >=2-D kernels
+    over `model`; everything else replicated.  Returns a pytree of
+    NamedShardings matching `params`."""
+    n_model = mesh.shape["model"]
+
+    def rule(leaf):
+        if (
+            n_model > 1
+            and hasattr(leaf, "ndim")
+            and leaf.ndim >= 2
+            and leaf.shape[-1] >= min_size
+            and leaf.shape[-1] % n_model == 0
+        ):
+            spec = [None] * (leaf.ndim - 1) + ["model"]
+            return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(rule, params)
+
+
+def shard_batch(batch, mesh):
+    """Place a host batch onto the mesh, sharded over `data`."""
+    sh = data_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

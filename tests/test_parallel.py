@@ -1,0 +1,75 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sixdof_tpu.parallel import sharding as sh
+
+
+def test_mesh_shapes():
+    mesh = sh.make_mesh()
+    assert mesh.shape["data"] * mesh.shape["model"] == len(jax.devices())
+    mesh2 = sh.make_mesh(n_data=4, n_model=2)
+    assert mesh2.shape == {"data": 4, "model": 2}
+
+
+def test_data_sharded_sum_matches():
+    mesh = sh.make_mesh(n_data=8, n_model=1)
+    x = np.arange(64, dtype=np.float32).reshape(8, 8)
+    xs = jax.device_put(x, sh.data_sharding(mesh))
+    f = jax.jit(lambda a: jnp.sum(a * 2))
+    np.testing.assert_allclose(float(f(xs)), x.sum() * 2, rtol=1e-6)
+
+
+def test_param_shardings_rule():
+    mesh = sh.make_mesh(n_data=4, n_model=2)
+    params = {
+        "big": jnp.zeros((512, 512)),
+        "small": jnp.zeros((16, 16)),
+        "bias": jnp.zeros((512,)),
+    }
+    specs = sh.param_shardings(params, mesh)
+    assert specs["big"].spec == jax.sharding.PartitionSpec(None, "model")
+    assert specs["small"].spec == jax.sharding.PartitionSpec()
+    assert specs["bias"].spec == jax.sharding.PartitionSpec()
+
+
+def test_sharded_refine_matches_single_device():
+    """Sharding the hypothesis axis must not change results."""
+    from sixdof_tpu.ops.geometry import compute_crop_window_tf_batch
+
+    mesh = sh.make_mesh(n_data=8, n_model=1)
+    K = jnp.asarray(np.array([[300.0, 0, 80], [0, 300.0, 60], [0, 0, 1]], dtype=np.float32))
+    poses = np.tile(np.eye(4, dtype=np.float32)[None], (16, 1, 1))
+    poses[:, 2, 3] = np.linspace(0.4, 0.7, 16)
+    f = jax.jit(
+        lambda p: compute_crop_window_tf_batch(p, K, crop_ratio=1.2, out_size=(160, 160),
+                                               mesh_diameter=0.1)
+    )
+    single = np.asarray(f(jnp.asarray(poses)))
+    shard = np.asarray(f(jax.device_put(jnp.asarray(poses), sh.data_sharding(mesh))))
+    np.testing.assert_allclose(single, shard, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_refiner_trainer_loss_decreases():
+    from sixdof_tpu.io.mesh_io import TriMesh
+    from sixdof_tpu.models.networks import RefineNet
+    from sixdof_tpu.ops.rasterize import make_mesh_arrays
+    from sixdof_tpu.parallel.train import RefinerTrainer, TrainConfig
+
+    v = np.array(
+        [[-0.04, -0.03, -0.02], [0.04, -0.03, -0.02], [0.04, 0.03, -0.02], [-0.04, 0.03, -0.02],
+         [-0.04, -0.03, 0.02], [0.04, -0.03, 0.02], [0.04, 0.03, 0.02], [-0.04, 0.03, 0.02]]
+    )
+    f = np.array([[0, 2, 1], [0, 3, 2], [4, 5, 6], [4, 6, 7], [0, 1, 5], [0, 5, 4],
+                  [2, 3, 7], [2, 7, 6], [1, 2, 6], [1, 6, 5], [3, 0, 4], [3, 4, 7]])
+    mesh = TriMesh(v, f)
+    arrays = make_mesh_arrays(mesh)
+    K = np.array([[300.0, 0, 80], [0, 300.0, 60], [0, 0, 1]])
+    cfg = TrainConfig(batch_size=8, input_hw=(64, 64), lr=3e-4)
+    dmesh = sh.make_mesh(n_data=8, n_model=1)
+    trainer = RefinerTrainer(RefineNet(c_in=6), arrays, K, 0.1, cfg, device_mesh=dmesh)
+    losses = trainer.train(12, log_every=0)
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses[0]} -> {losses[-1]}"

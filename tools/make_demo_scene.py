@@ -100,9 +100,9 @@ def main(out_dir="demo_data/synth_box", n_frames=6, H=480, W=640, seed=0):
         "box": True,
         "mesh": False,
         "voxel_size": 2.0,
-        "preprocess_target": {"max_pcd": 6000, "fpfh_radius": 20, "fpfh_max_nn": 60},
+        "preprocess_target": {"max_pcd": 3000, "fpfh_radius": 20, "fpfh_max_nn": 60},
         "preprocess_source": {
-            "down_sample": 2.0,
+            "down_sample": 4.0,
             "plane_removal": {"distance_threshold": 2.0, "num_iterations": 100},
             "fpfh_radius": 20,
             "fpfh_max_nn": 60,
@@ -114,7 +114,7 @@ def main(out_dir="demo_data/synth_box", n_frames=6, H=480, W=640, seed=0):
             "ransac_criteria": {"iterations": 4000, "confidence": 0.999},
         },
         "refine_registration": {"distance_threshold": 5.0},
-        "run_icp": {"fitness_threshold": 0.9, "rmse_threshold": 2.0},
+        "run_icp": {"fitness_threshold": 0.9, "rmse_threshold": 2.0, "n_restarts": 12, "max_iter": 15},
     }
     with open(f"{out_dir}/configs/icp_parameters.json", "w") as f:
         json.dump(icp_params, f, indent=2)
