@@ -1,0 +1,135 @@
+"""End-to-end benchmark on the demo scene (real TPU chip).
+
+Replays the run-loop workload of the reference (`run.py` frame loop): frame 0
+registration + ICP + defect ray-trace, then steady-state tracking with a
+defect capture (ICP improve + ray trace) every CAPTURE_EVERY frames —
+the "pose + ICP + defect projection" FPS of BASELINE.md's north star
+(>= 10 FPS on one v5e chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+SCENE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "demo_data", "synth_box")
+BASELINE_FPS = 10.0
+CAPTURE_EVERY = 10
+N_TRACK = 30
+
+
+def ensure_scene():
+    if not os.path.exists(os.path.join(SCENE, "rgb", "rgb_0000.png")):
+        subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                          "tools", "make_demo_scene.py"), SCENE, "6"],
+            check=True,
+        )
+
+
+def main():
+    ensure_scene()
+    import logging
+
+    logging.disable(logging.INFO)
+
+    from sixdof_tpu.app.defect_projection import ray_tracing
+    from sixdof_tpu.app.icp_pipeline import improve_result, preprocess_source, refine_pose_with_icp
+    from sixdof_tpu.estimater import FoundationPose
+    from sixdof_tpu.io.mesh_io import load_mesh
+    from sixdof_tpu.io.readers import DataReader
+
+    class Args:
+        debug = 0
+        box = None
+        mesh = None
+        voxel_size = None
+
+    reader = DataReader(base_dir=SCENE, shorter_side=None, zfar=np.inf, arguments=Args())
+    mesh = load_mesh(f"{SCENE}/mesh/model_scaled_down.obj")
+    est = FoundationPose(model_pts=mesh.vertices, model_normals=mesh.vertex_normals, mesh=mesh)
+
+    color = reader.get_color(0)
+    depth = reader.get_depth(0)
+    mask = reader.get_mask(color, 0).astype(bool)
+    source = reader.get_source(0)
+    heatmap, _, _, _ = reader.get_heatmap(color)
+
+    timings = {}
+
+    # ---- frame 0: registration (includes compile on first call) ----
+    t0 = time.perf_counter()
+    pose = est.register(K=reader.color_K, rgb=color, depth=depth, ob_mask=mask, iteration=5)
+    timings["register_first_s"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    pose = est.register(K=reader.color_K, rgb=color, depth=depth, ob_mask=mask, iteration=5)
+    timings["register_s"] = time.perf_counter() - t0
+
+    pose_mm = reader.scale_translation_to_millimeters(pose)
+    init_tf = reader.color_to_depth @ pose_mm
+    t0 = time.perf_counter()
+    _, icp_result, _, target_processed = refine_pose_with_icp(
+        source, reader.target, reader.background, init_tf.copy(), reader.parameters
+    )
+    timings["icp_full_s"] = time.perf_counter() - t0
+
+    target_mesh_copy = reader.target_mesh.copy()
+    target_mesh_copy.transform(np.linalg.inv(icp_result.transformation))
+    t0 = time.perf_counter()
+    pcd, _ = ray_tracing(reader.base_dir, target_mesh_copy, heatmap, reader.color_pinhole, 0.75)
+    timings["raytrace_s"] = time.perf_counter() - t0
+
+    # ---- warm tracking + capture path ----
+    est.track_one(rgb=color, depth=depth, K=reader.color_K, iteration=2)
+    src_proc, _, _ = preprocess_source(source, reader.background, reader.parameters, i=1)
+    improve_result(src_proc, target_processed, init_tf.copy(), reader.parameters)
+
+    # ---- steady-state loop: track every frame, capture every Nth ----
+    n = len(reader)
+    t_loop = time.perf_counter()
+    for i in range(N_TRACK):
+        fi = 1 + (i % (n - 1))
+        c = reader.get_color(fi)
+        d = reader.get_depth(fi)
+        est.track_one(rgb=c, depth=d, K=reader.color_K, iteration=2)
+        if (i + 1) % CAPTURE_EVERY == 0:
+            s = reader.get_source(fi)
+            sp, _, _ = preprocess_source(s, reader.background, reader.parameters, i=fi)
+            res = improve_result(sp, target_processed, init_tf.copy(), reader.parameters)
+            tm = reader.target_mesh.copy()
+            tm.transform(np.linalg.inv(res.transformation))
+            ray_tracing(reader.base_dir, tm, heatmap, reader.color_pinhole, 0.75)
+    loop_s = time.perf_counter() - t_loop
+    fps = N_TRACK / loop_s
+
+    timings["track_fps"] = None  # filled below
+    t0 = time.perf_counter()
+    for i in range(5):
+        est.track_one(rgb=color, depth=depth, K=reader.color_K, iteration=2)
+    timings["track_fps"] = 5 / (time.perf_counter() - t0)
+
+    import jax
+
+    out = {
+        "metric": "e2e_fps_pose_icp_defect",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "device": str(jax.devices()[0]),
+        "register_s": round(timings["register_s"], 3),
+        "icp_full_s": round(timings["icp_full_s"], 3),
+        "raytrace_s": round(timings["raytrace_s"], 3),
+        "track_only_fps": round(timings["track_fps"], 2),
+        "n_hypotheses": int(len(est.rot_grid)),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

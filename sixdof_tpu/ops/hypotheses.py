@@ -105,6 +105,11 @@ def cluster_poses(angle_diff_deg, dist_diff, poses_in, symmetry_tfs):
 
     @poses_in: (N,4,4); @symmetry_tfs: (S,4,4).  Returns (M,4,4).
     """
+    from .. import native
+
+    if native.available():
+        return native.cluster_poses(angle_diff_deg, dist_diff, poses_in, symmetry_tfs)
+
     poses_in = np.asarray(poses_in, dtype=np.float64)
     symmetry_tfs = np.asarray(symmetry_tfs, dtype=np.float64)
     radian_thres = angle_diff_deg / 180.0 * np.pi

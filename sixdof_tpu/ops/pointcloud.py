@@ -162,19 +162,31 @@ def background_removal(pcd: PointCloud, background: PointCloud, threshold=10.0) 
     (reference src/pose_estimation.py:377-392)."""
     if len(background) == 0 or len(pcd) == 0:
         return pcd
-    tree = cKDTree(background.points)
-    d, _ = tree.query(pcd.points, k=1, workers=-1)
-    keep = np.where(d > threshold)[0]
+    from .. import native
+
+    if native.available():
+        near = native.has_neighbor_within(pcd.points, background.points, threshold)
+        keep = np.where(~near)[0]
+    else:
+        tree = cKDTree(background.points)
+        d, _ = tree.query(pcd.points, k=1, workers=-1)
+        keep = np.where(d > threshold)[0]
     if len(keep) == 0:
         return pcd
     return pcd.select_by_index(keep)
 
 
 def dbscan_labels(points, eps, min_points):
-    """Exact DBSCAN labels (-1 = noise) via KD pair queries + union-find.
+    """Exact DBSCAN labels (-1 = noise).
 
     Replaces Open3D cluster_dbscan (reference src/pose_estimation.py:283).
+    Uses the native grid-hash implementation when built
+    (native/sixdof_native.cpp), else KD pair queries + union-find.
     """
+    from .. import native
+
+    if native.available():
+        return native.dbscan_labels(points, eps, min_points)
     n = len(points)
     tree = cKDTree(points)
     neighbor_counts = np.array(tree.query_ball_point(points, eps, workers=-1, return_length=True))
