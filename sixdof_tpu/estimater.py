@@ -192,21 +192,32 @@ class FoundationPose:
         if self.pose_last is None:
             logging.info("Please init pose by register first")
             raise RuntimeError
-        depth = jnp.asarray(np.asarray(depth), dtype=jnp.float32)
-        depth = erode_depth(depth, radius=2)
-        depth = bilateral_filter_depth(depth, radius=2)
-        logging.info("depth processing done")
+        from .models.predict import track_pose_jit
 
-        xyz_map = depth2xyzmap(depth, jnp.asarray(K, dtype=jnp.float32))
-        pose, vis = self.refiner.predict(
-            mesh=self.mesh, mesh_tensors=self.mesh_tensors, rgb=rgb, depth=depth, K=K,
-            ob_in_cams=np.asarray(self.pose_last).reshape(1, 4, 4), xyz_map=xyz_map,
-            mesh_diameter=self.diameter, glctx=None, iteration=iteration,
-            get_vis=self.debug >= 2,
+        ref = self.refiner
+        rgb01 = jnp.asarray(np.asarray(rgb), dtype=jnp.float32)
+        if float(np.asarray(rgb).max(initial=0.0)) > 1.5:
+            rgb01 = rgb01 / 255.0
+        pose, _depth_filtered = track_pose_jit(
+            ref.model, ref.params, self.mesh_tensors,
+            jnp.asarray(np.asarray(self.pose_last).reshape(1, 4, 4), dtype=jnp.float32),
+            rgb01, jnp.asarray(np.asarray(depth), dtype=jnp.float32),
+            jnp.asarray(K, dtype=jnp.float32), float(self.diameter),
+            float(ref.cfg["crop_ratio"]), float(ref.cfg["trans_normalizer"]),
+            float(ref.cfg["rot_normalizer"]), iterations=int(iteration),
+            out_hw=tuple(ref.cfg["input_resize"]),
+            normalize_xyz=bool(ref.cfg["normalize_xyz"]),
+            trans_rep=ref.cfg["trans_rep"], rot_rep=ref.cfg["rot_rep"],
         )
         logging.info("pose done")
         if self.debug >= 2:
+            xyz_map = depth2xyzmap(_depth_filtered, jnp.asarray(K, dtype=jnp.float32))
+            _, vis = ref.predict(
+                mesh=self.mesh, mesh_tensors=self.mesh_tensors, rgb=rgb,
+                depth=_depth_filtered, K=K, ob_in_cams=np.asarray(pose).reshape(1, 4, 4),
+                xyz_map=xyz_map, mesh_diameter=self.diameter, iteration=1, get_vis=True,
+            )
             extra["vis"] = vis
-        pose_np = np.asarray(pose).reshape(4, 4)
+        pose_np = np.asarray(pose).reshape(4, 4).astype(np.float64)
         self.pose_last = pose_np
         return pose_np @ self.get_tf_to_centered_mesh()

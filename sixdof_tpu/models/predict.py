@@ -36,7 +36,7 @@ from ..ops.geometry import (
 )
 from ..ops.lie import rotation_6d_to_matrix, so3_exp_map
 from ..ops.rasterize import MeshArrays, render_batch
-from ..ops.warp import warp_perspective
+from ..ops.warp import warp_crop_batch, warp_perspective
 from .networks import RefineNet, ScoreNetMultiPair
 
 DEFAULT_REFINER_CFG = dict(
@@ -80,8 +80,10 @@ def _make_AB(mesh, poses, rgb01, xyz_map, K, crop_ratio, mesh_diameter, out_hw,
     rend = render_batch(mesh, poses, K, tf_to_crops, out_hw=out_hw, use_light=True)
     rgbA = rend["color"]
     xyzA = rend["xyz_map"]
-    rgbB = warp_perspective(rgb01, tf_to_crops, out_hw, mode="bilinear")
-    xyzB = warp_perspective(xyz_map, tf_to_crops, out_hw, mode="nearest")
+    # crop tfs are axis-aligned affine -> separable matmul warp (MXU), not a
+    # random gather (see ops/warp.py)
+    rgbB = warp_crop_batch(rgb01, tf_to_crops, out_hw, mode="bilinear")
+    xyzB = warp_crop_batch(xyz_map, tf_to_crops, out_hw, mode="nearest")
 
     center = poses[:, :3, 3][:, None, None, :]  # (B,1,1,3)
     if normalize_xyz:
@@ -167,6 +169,36 @@ def score_poses_jit(
     return out["score_logit"].reshape(-1) + 100.0
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "iterations", "out_hw", "normalize_xyz", "trans_rep", "rot_rep"),
+)
+def track_pose_jit(
+    model, params, mesh: MeshArrays, pose_last, rgb01, depth_raw, K, mesh_diameter,
+    crop_ratio, trans_normalizer, rot_normalizer, iterations: int, out_hw=(160, 160),
+    normalize_xyz=False, trans_rep="tracknet", rot_rep="axis_angle",
+):
+    """Fused tracking step: depth erode+bilateral -> xyz map -> refine scan.
+
+    One device dispatch per frame (the reference issues several GPU kernels +
+    host syncs per frame, estimater.py:254-266); returns (pose (1,4,4),
+    depth_filtered) so the host can reuse the cleaned depth without a second
+    pass.
+    """
+    from ..ops.depth_filter import bilateral_filter_depth, erode_depth
+    from ..ops.geometry import depth2xyzmap
+
+    depth = erode_depth(depth_raw, radius=2)
+    depth = bilateral_filter_depth(depth, radius=2)
+    xyz_map = depth2xyzmap(depth, K)
+    poses = refine_poses_jit(
+        model, params, mesh, pose_last, rgb01, xyz_map, K, mesh_diameter, crop_ratio,
+        trans_normalizer, rot_normalizer, iterations, out_hw, normalize_xyz,
+        trans_rep, rot_rep,
+    )
+    return poses, depth
+
+
 class _PredictorBase:
     def _init_params(self, model, example_inputs, ckpt_dir, convert_fn, seed=0):
         if ckpt_dir and os.path.exists(ckpt_dir):
@@ -190,7 +222,7 @@ class PoseRefinePredictor(_PredictorBase):
     """Reference learning/training/predict_pose_refine.py:93-295 equivalent."""
 
     def __init__(self, cfg: Optional[dict] = None, ckpt_dir: Optional[str] = None,
-                 compute_dtype=jnp.float32):
+                 compute_dtype=jnp.bfloat16):
         self.cfg = dict(DEFAULT_REFINER_CFG)
         if cfg:
             self.cfg.update(cfg)
@@ -257,7 +289,7 @@ class ScorePredictor(_PredictorBase):
     """Reference learning/training/predict_score.py:117-226 equivalent."""
 
     def __init__(self, cfg: Optional[dict] = None, ckpt_dir: Optional[str] = None,
-                 compute_dtype=jnp.float32):
+                 compute_dtype=jnp.bfloat16):
         self.cfg = dict(DEFAULT_SCORER_CFG)
         if cfg:
             self.cfg.update(cfg)

@@ -81,6 +81,43 @@ def make_mesh_arrays(mesh, max_tex_size=None) -> MeshArrays:
     )
 
 
+def _tri_setup(uv_crop, z_cam, faces, znear):
+    """Per-triangle raster setup: edge-function + 1/z plane coefficients.
+
+    Edge functions are LINEAR in pixel coordinates, so evaluating a triangle
+    chunk over all pixels is a (4C,3)x(3,P) matmul — MXU work instead of
+    gather-heavy VPU broadcasting.  Returns (coef (T,4,3), sign (T,), valid
+    (T,)) where rows of coef are [w0,w1,w2,inv_z] plane equations (w already
+    divided by the signed area, so li = coef_i . [px,py,1] and inside means
+    li*sign >= 0 ... actually li are the true barycentrics; inside = all >=0).
+    """
+    v0 = uv_crop[faces[:, 0]]
+    v1 = uv_crop[faces[:, 1]]
+    v2 = uv_crop[faces[:, 2]]
+    z0, z1, z2 = z_cam[faces[:, 0]], z_cam[faces[:, 1]], z_cam[faces[:, 2]]
+    area = (v1[:, 0] - v0[:, 0]) * (v2[:, 1] - v0[:, 1]) - (v1[:, 1] - v0[:, 1]) * (
+        v2[:, 0] - v0[:, 0]
+    )
+    valid = (jnp.abs(area) > 1e-12) & (z0 > znear) & (z1 > znear) & (z2 > znear)
+    inv_area = jnp.where(valid, 1.0 / jnp.where(jnp.abs(area) > 1e-12, area, 1.0), 0.0)
+
+    def edge_coef(a, b):
+        # w(p) = (bx-ax)(py-ay) - (by-ay)(px-ax) -> [A,B,C] . [px,py,1]
+        ex = b[:, 0] - a[:, 0]
+        ey = b[:, 1] - a[:, 1]
+        return jnp.stack([-ey, ex, ey * a[:, 0] - ex * a[:, 1]], axis=-1)
+
+    c0 = edge_coef(v1, v2) * inv_area[:, None]  # barycentric l0 plane
+    c1 = edge_coef(v2, v0) * inv_area[:, None]
+    c2 = edge_coef(v0, v1) * inv_area[:, None]
+    # 1/z interpolates linearly: inv_z(p) = sum li * (1/zi)
+    iz = (
+        c0 * (1.0 / z0)[:, None] + c1 * (1.0 / z1)[:, None] + c2 * (1.0 / z2)[:, None]
+    )
+    coef = jnp.stack([c0, c1, c2, iz], axis=1)  # (T,4,3)
+    return coef, valid
+
+
 def _rasterize_one(uv_crop, z_cam, faces, out_hw, tri_chunk, znear):
     """Z-buffer rasterization of one hypothesis.
 
@@ -88,80 +125,50 @@ def _rasterize_one(uv_crop, z_cam, faces, out_hw, tri_chunk, znear):
     Returns (tri_id (H,W) int32 [-1 = miss], bary (H,W,3), z (H,W)).
     """
     H, W = out_hw
+    P = H * W
     T = faces.shape[0]
     pad = (-T) % tri_chunk
-    faces_p = jnp.pad(faces, ((0, pad), (0, 0)))
+    coef, valid = _tri_setup(uv_crop, z_cam, faces, znear)
+    coef_p = jnp.pad(coef, ((0, pad), (0, 0), (0, 0)))
+    valid_p = jnp.pad(valid, (0, pad))
     n_chunks = (T + pad) // tri_chunk
 
-    px = jnp.arange(W, dtype=jnp.float32)[None, :]  # (1,W)
-    py = jnp.arange(H, dtype=jnp.float32)[:, None]  # (H,1)
+    px = jnp.tile(jnp.arange(W, dtype=jnp.float32)[None, :], (H, 1)).reshape(P)
+    py = jnp.repeat(jnp.arange(H, dtype=jnp.float32), W)
+    pix = jnp.stack([px, py, jnp.ones_like(px)], axis=0)  # (3,P)
 
     def chunk_step(carry, chunk_idx):
-        zbuf, tid, b0buf, b1buf = carry
-        f = jax.lax.dynamic_slice(faces_p, (chunk_idx * tri_chunk, 0), (tri_chunk, 3))
-        v0 = uv_crop[f[:, 0]]  # (C,2)
-        v1 = uv_crop[f[:, 1]]
-        v2 = uv_crop[f[:, 2]]
-        z0 = z_cam[f[:, 0]]
-        z1 = z_cam[f[:, 1]]
-        z2 = z_cam[f[:, 2]]
-        # triangle valid: in front of camera, non-degenerate, real (not pad)
-        area = (v1[:, 0] - v0[:, 0]) * (v2[:, 1] - v0[:, 1]) - (v1[:, 1] - v0[:, 1]) * (
-            v2[:, 0] - v0[:, 0]
-        )  # (C,)
-        is_real = (chunk_idx * tri_chunk + jnp.arange(tri_chunk)) < T
-        valid_tri = (
-            is_real
-            & (jnp.abs(area) > 1e-12)
-            & (z0 > znear) & (z1 > znear) & (z2 > znear)
+        zbuf, tid = carry
+        c = jax.lax.dynamic_slice(coef_p, (chunk_idx * tri_chunk, 0, 0), (tri_chunk, 4, 3))
+        vt = jax.lax.dynamic_slice(valid_p, (chunk_idx * tri_chunk,), (tri_chunk,))
+        # (C,4,P): barycentrics l0,l1,l2 and 1/z for every pixel, one matmul
+        vals = jax.lax.dot_general(
+            c, pix, (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
+        l0, l1, l2, inv_z = vals[:, 0], vals[:, 1], vals[:, 2], vals[:, 3]
+        inside = (l0 >= 0) & (l1 >= 0) & (l2 >= 0) & vt[:, None]
+        z = jnp.where(inside & (inv_z > 1e-12), 1.0 / jnp.maximum(inv_z, 1e-12), jnp.inf)
 
-        # edge functions at every pixel: (C,H,W)
-        def edge(a, b):
-            return (b[:, 0, None, None] - a[:, 0, None, None]) * (py[None] - a[:, 1, None, None]) - (
-                b[:, 1, None, None] - a[:, 1, None, None]
-            ) * (px[None] - a[:, 0, None, None])
-
-        w0 = edge(v1, v2)
-        w1 = edge(v2, v0)
-        w2 = edge(v0, v1)
-        inv_area = 1.0 / area[:, None, None]
-        l0 = w0 * inv_area
-        l1 = w1 * inv_area
-        l2 = w2 * inv_area
-        inside = (l0 >= 0) & (l1 >= 0) & (l2 >= 0) & valid_tri[:, None, None]
-        # perspective-correct depth: 1/z interpolates linearly in screen space
-        inv_z = (
-            l0 * (1.0 / z0)[:, None, None]
-            + l1 * (1.0 / z1)[:, None, None]
-            + l2 * (1.0 / z2)[:, None, None]
-        )
-        z = 1.0 / jnp.maximum(inv_z, 1e-12)
-        z = jnp.where(inside, z, jnp.inf)  # (C,H,W)
-
-        # nearest triangle within this chunk
-        best = jnp.argmin(z, axis=0)  # (H,W)
+        best = jnp.argmin(z, axis=0)  # (P,)
         zmin = jnp.min(z, axis=0)
-
-        def take(arr):
-            return jnp.take_along_axis(arr, best[None], axis=0)[0]
-
         closer = zmin < zbuf
         new_tid = jnp.where(closer, chunk_idx * tri_chunk + best.astype(jnp.int32), tid)
-        new_b0 = jnp.where(closer, take(l0), b0buf)
-        new_b1 = jnp.where(closer, take(l1), b1buf)
         new_z = jnp.where(closer, zmin, zbuf)
-        return (new_z, new_tid, new_b0, new_b1), None
+        return (new_z, new_tid), None
 
     init = (
-        jnp.full((H, W), jnp.inf, dtype=jnp.float32),
-        jnp.full((H, W), -1, dtype=jnp.int32),
-        jnp.zeros((H, W), dtype=jnp.float32),
-        jnp.zeros((H, W), dtype=jnp.float32),
+        jnp.full((P,), jnp.inf, dtype=jnp.float32),
+        jnp.full((P,), -1, dtype=jnp.int32),
     )
-    (zbuf, tid, b0, b1), _ = jax.lax.scan(chunk_step, init, jnp.arange(n_chunks))
-    bary = jnp.stack([b0, b1, 1.0 - b0 - b1], axis=-1)
-    zbuf = jnp.where(tid >= 0, zbuf, 0.0)
+    (zbuf, tid), _ = jax.lax.scan(chunk_step, init, jnp.arange(n_chunks))
+
+    # recompute the winner's barycentrics once per pixel (cheaper than
+    # carrying them through the scan)
+    cw = coef_p[jnp.maximum(tid, 0)]  # (P,4,3)
+    lw = jnp.einsum("pki,ip->pk", cw[:, :3], pix)  # (P,3)
+    tid = tid.reshape(H, W)
+    bary = lw.reshape(H, W, 3)
+    zbuf = jnp.where(tid >= 0, zbuf.reshape(H, W), 0.0)
     return tid, bary, zbuf
 
 

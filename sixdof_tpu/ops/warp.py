@@ -16,6 +16,59 @@ import jax.numpy as jnp
 
 
 @functools.partial(jax.jit, static_argnames=("out_hw", "mode"))
+def warp_crop_batch(img, tfs, out_hw, mode="bilinear"):
+    """Axis-aligned-affine batched crop warp as two interpolation MATMULS.
+
+    The crop transforms produced by compute_crop_window_tf_batch are always
+    `diag(sx,sy)+t` (no rotation/shear/projective terms), so resampling is
+    separable: out = Ry @ img @ Cx^T with per-pose 1-D interpolation matrices.
+    On TPU this turns a 32M-element random gather (slow) into ~100 GFLOP of
+    MXU work (fast).  Zero padding outside the source, matching
+    warp_perspective.
+
+    @img: (H,W,C); @tfs: (B,3,3) src->dst; returns (B,Ho,Wo,C).
+    """
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    H, W, C = img.shape
+    Ho, Wo = out_hw
+    tfs = tfs.astype(jnp.float32)
+    sx, tx = tfs[:, 0, 0], tfs[:, 0, 2]
+    sy, ty = tfs[:, 1, 1], tfs[:, 1, 2]
+
+    def interp_matrix(scale, shift, n_out, n_src):
+        # src = (dst - shift)/scale per pose -> (B, n_out)
+        dst = jnp.arange(n_out, dtype=jnp.float32)[None]
+        src = (dst - shift[:, None]) / scale[:, None]
+        if mode == "nearest":
+            idx = jnp.round(src).astype(jnp.int32)
+            valid = (src >= -0.5) & (src <= n_src - 0.5)
+            idx = jnp.clip(idx, 0, n_src - 1)
+            M = jax.nn.one_hot(idx, n_src, dtype=jnp.float32)
+            return M * valid[..., None]
+        x0 = jnp.floor(src)
+        frac = src - x0
+        x0i = x0.astype(jnp.int32)
+        valid = (src >= 0) & (src <= n_src - 1)
+        M = (
+            jax.nn.one_hot(jnp.clip(x0i, 0, n_src - 1), n_src, dtype=jnp.float32)
+            * (1 - frac)[..., None]
+            + jax.nn.one_hot(jnp.clip(x0i + 1, 0, n_src - 1), n_src, dtype=jnp.float32)
+            * frac[..., None]
+        )
+        return M * valid[..., None]
+
+    Ry = interp_matrix(sy, ty, Ho, H)  # (B,Ho,H)
+    Cx = interp_matrix(sx, tx, Wo, W)  # (B,Wo,W)
+    tmp = jnp.einsum("bhH,HWc->bhWc", Ry, img, preferred_element_type=jnp.float32)
+    out = jnp.einsum("bhWc,bwW->bhwc", tmp, Cx, preferred_element_type=jnp.float32)
+    if squeeze:
+        out = out[..., 0]
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw", "mode"))
 def warp_perspective(img, tfs, out_hw, mode="bilinear"):
     """Warp an image into B crop windows.
 

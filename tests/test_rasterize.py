@@ -176,3 +176,15 @@ def test_warp_matches_raster_convention():
     assert np.mean(cover_d != cover_w) < 0.08
     both = cover_d & cover_w
     np.testing.assert_allclose(direct[both], warped[both], atol=0.01)
+
+
+def test_warp_crop_batch_matches_generic():
+    rng = np.random.RandomState(3)
+    img = rng.rand(40, 50, 3).astype(np.float32)
+    tfs = np.zeros((2, 3, 3), dtype=np.float32)
+    tfs[0] = np.array([[2.0, 0, -8], [0, 2.0, -4], [0, 0, 1]])
+    tfs[1] = np.array([[0.5, 0, 3], [0, 0.8, 1], [0, 0, 1]])
+    for mode in ["bilinear", "nearest"]:
+        ref = np.asarray(warp_ops.warp_perspective(jnp.asarray(img), jnp.asarray(tfs), (32, 32), mode=mode))
+        sep = np.asarray(warp_ops.warp_crop_batch(jnp.asarray(img), jnp.asarray(tfs), (32, 32), mode=mode))
+        np.testing.assert_allclose(sep, ref, atol=2e-5)
