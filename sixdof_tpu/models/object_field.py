@@ -1,0 +1,529 @@
+"""Neural object field: truncated-SDF NeRF for model-free mesh reconstruction.
+
+TPU-native rebuild of the reference's `bundlesdf/` subsystem
+(nerf_runner.py:114-1232, nerf_helpers.py, run_nerf.py:18-74): when no CAD
+model exists, fit a hash-grid SDF/color field to masked RGB-D frames with
+known rough poses, then extract a mesh.
+
+Faithful pieces (cited to the reference):
+- multi-resolution hash-grid positional encoding (instant-NGP): 16 levels,
+  base res 32 -> finest 512, 2 features/level, 2^22 hashmap
+  (config_ycbv.yml:44-47; torch_ngp_grid_encoder/gridencoder.cu kernels) —
+  here a pure-JAX gather + trilinear lerp, autodiff for free;
+- spherical-harmonics direction encoding, degree 3 (nerf_helpers.py:68-160);
+- NeRFSmall MLP: 2-layer sigma net (64) -> 1 SDF + 15 geo features; 3-layer
+  color net (64) on [SH, geo_feat, per-frame latent] (nerf_runner.py:222);
+- per-frame latent FeatureArray + se3 PoseArray corrections
+  (nerf_helpers.py:25-64, nerf_runner.py:236-241);
+- depth-band compositing `sdf2weights` (nerf_runner.py:868-877) and the
+  truncated-SDF losses: rgb x100, free-space x100, empty x1, sdf x6000,
+  feature/pose regs (nerf_runner.py:507-585, nerf_helpers.py:398-428);
+- scene normalization to [-1,1] x 0.9 and `mesh_to_real_world`
+  (tool.py:27-130, nerf_helpers.py:215-221).
+
+Replaced (TPU-first): the kaolin octree + two mycuda ray-span kernels become
+uniform ray-box sampling + samples around the depth (static shapes, no
+ragged intersections); marching cubes becomes marching TETRAHEDRA on host
+(no 2.5k-entry tables, same isosurface); the broken texture bake
+(nerf_runner.py:1133 imports a missing module) becomes direct per-vertex
+color queries of the fitted field.
+"""
+from __future__ import annotations
+
+import functools
+import logging
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+BAD_DEPTH = 99.0
+BAD_COLOR = 0
+
+
+# ------------------------------------------------------------- hash grid  --
+
+
+class HashGridSpec(NamedTuple):
+    n_levels: int = 16
+    base_res: int = 32
+    finest_res: int = 512
+    level_dim: int = 2
+    log2_hashmap_size: int = 22
+
+    @property
+    def per_level_scale(self):
+        return math.exp(math.log(self.finest_res / self.base_res) / (self.n_levels - 1))
+
+    def level_res(self, l):
+        return int(math.floor(self.base_res * self.per_level_scale**l))
+
+    def level_size(self, l):
+        res = self.level_res(l)
+        dense = (res + 1) ** 3
+        return min(dense, 2**self.log2_hashmap_size)
+
+    @property
+    def offsets(self):
+        offs = [0]
+        for l in range(self.n_levels):
+            offs.append(offs[-1] + self.level_size(l))
+        return offs
+
+    @property
+    def out_dim(self):
+        return self.n_levels * self.level_dim
+
+
+_PRIMES = (1, 2654435761, 805459861)
+
+
+def init_hash_grid(key, spec: HashGridSpec):
+    total = spec.offsets[-1]
+    return jax.random.uniform(key, (total, spec.level_dim), minval=-1e-4, maxval=1e-4)
+
+
+def hash_grid_encode(table, x, spec: HashGridSpec):
+    """@x: (N,3) in [-1,1] -> (N, n_levels*level_dim) features."""
+    x01 = (x + 1.0) / 2.0  # [0,1]
+    offs = spec.offsets
+    feats = []
+    for l in range(spec.n_levels):
+        res = spec.level_res(l)
+        size = spec.level_size(l)
+        dense = (res + 1) ** 3 <= size
+        pos = x01 * res
+        p0 = jnp.floor(pos).astype(jnp.int32)
+        frac = pos - p0
+        p0 = jnp.clip(p0, 0, res - 1)
+
+        level_feats = 0.0
+        for corner in range(8):
+            dx = (corner >> 0) & 1
+            dy = (corner >> 1) & 1
+            dz = (corner >> 2) & 1
+            c = p0 + jnp.array([dx, dy, dz], dtype=jnp.int32)
+            if dense:
+                idx = (c[:, 0] * (res + 1) + c[:, 1]) * (res + 1) + c[:, 2]
+            else:
+                cu = c.astype(jnp.uint32)
+                idx = (
+                    cu[:, 0] * jnp.uint32(_PRIMES[0])
+                    ^ cu[:, 1] * jnp.uint32(_PRIMES[1])
+                    ^ cu[:, 2] * jnp.uint32(_PRIMES[2])
+                ) % jnp.uint32(size)
+                idx = idx.astype(jnp.int32)
+            w = (
+                jnp.where(dx, frac[:, 0], 1 - frac[:, 0])
+                * jnp.where(dy, frac[:, 1], 1 - frac[:, 1])
+                * jnp.where(dz, frac[:, 2], 1 - frac[:, 2])
+            )
+            level_feats = level_feats + w[:, None] * table[offs[l] + idx]
+        feats.append(level_feats)
+    return jnp.concatenate(feats, axis=-1)
+
+
+# ------------------------------------------------------------ SH encoding --
+
+_C0 = 0.28209479177387814
+_C1 = 0.4886025119029199
+_C2 = [1.0925484305920792, -1.0925484305920792, 0.31539156525252005,
+       -1.0925484305920792, 0.5462742152960396]
+
+
+def sh_encode(d, degree=3):
+    """Real SH basis up to `degree` (out dim degree^2), matching SHEncoder
+    (nerf_helpers.py:68-160)."""
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    out = [jnp.full_like(x, _C0)]
+    if degree > 1:
+        out += [-_C1 * y, _C1 * z, -_C1 * x]
+    if degree > 2:
+        xx, yy, zz = x * x, y * y, z * z
+        xy, yz, xz = x * y, y * z, x * z
+        out += [
+            _C2[0] * xy, _C2[1] * yz, _C2[2] * (2.0 * zz - xx - yy),
+            _C2[3] * xz, _C2[4] * (xx - yy),
+        ]
+    return jnp.stack(out, axis=-1)
+
+
+# ------------------------------------------------------------------ model --
+
+
+class FieldParams(NamedTuple):
+    table: jnp.ndarray  # hash grid
+    sigma_w: tuple  # ((in,64),(64,16)) weights+biases
+    color_w: tuple
+    frame_features: jnp.ndarray  # (n_frames, F)
+    pose_deltas: jnp.ndarray  # (n_frames, 6) se3
+
+
+def init_field(key, spec: HashGridSpec, n_frames, frame_feat_dim=2, sh_degree=3):
+    ks = jax.random.split(key, 8)
+    in_dim = spec.out_dim
+    sh_dim = sh_degree**2
+
+    def dense(key, i, o):
+        scale = math.sqrt(2.0 / i)
+        return (jax.random.normal(key, (i, o)) * scale, jnp.zeros(o))
+
+    sigma1 = dense(ks[0], in_dim, 64)
+    sigma2 = dense(ks[1], 64, 16)
+    # bias the SDF positive like the reference init (nerf_helpers.py:305)
+    sigma2 = (sigma2[0], sigma2[1].at[0].set(0.1))
+    c_in = sh_dim + frame_feat_dim + 15
+    color1 = dense(ks[2], c_in, 64)
+    color2 = dense(ks[3], 64, 64)
+    color3 = dense(ks[4], 64, 3)
+    return FieldParams(
+        table=init_hash_grid(ks[5], spec),
+        sigma_w=(sigma1, sigma2),
+        color_w=(color1, color2, color3),
+        frame_features=jnp.zeros((n_frames, frame_feat_dim)),
+        pose_deltas=jnp.zeros((n_frames, 6)),
+    )
+
+
+def field_sdf(params: FieldParams, x, spec: HashGridSpec):
+    h = hash_grid_encode(params.table, x, spec)
+    (w1, b1), (w2, b2) = params.sigma_w
+    h = jax.nn.relu(h @ w1 + b1)
+    out = h @ w2 + b2
+    return out[..., 0], out[..., 1:]
+
+
+def field_color(params: FieldParams, geo_feat, dirs, frame_feat, sh_degree=3):
+    sh = sh_encode(dirs, sh_degree)
+    h = jnp.concatenate([sh, frame_feat, geo_feat], axis=-1)
+    (w1, b1), (w2, b2), (w3, b3) = params.color_w
+    h = jax.nn.relu(h @ w1 + b1)
+    h = jax.nn.relu(h @ w2 + b2)
+    return h @ w3 + b3  # raw logits; sigmoid at compositing
+
+
+# -------------------------------------------------------------- rendering --
+
+
+def ray_box_intersect(origins, dirs, lo=-1.0, hi=1.0):
+    """Slab test against the normalized cube; returns (near, far) clamped."""
+    inv = 1.0 / jnp.where(jnp.abs(dirs) > 1e-9, dirs, 1e-9)
+    t0 = (lo - origins) * inv
+    t1 = (hi - origins) * inv
+    tmin = jnp.minimum(t0, t1).max(axis=-1)
+    tmax = jnp.maximum(t0, t1).min(axis=-1)
+    return jnp.maximum(tmin, 0.0), jnp.maximum(tmax, 0.0)
+
+
+def sample_z_vals(key, origins, dirs, target_d, n_uniform, n_depth, truncation,
+                  neg_trunc_ratio, far_cap):
+    """Uniform box samples + samples around the depth, sorted.
+
+    Replaces the octree span sampling (nerf_runner.py:730-845 +
+    mycuda sampleRaysUniformOccupiedVoxels) with static-shape sampling.
+    """
+    N = origins.shape[0]
+    k1, k2 = jax.random.split(key)
+    near, far = ray_box_intersect(origins, dirs)
+    far = jnp.minimum(far, far_cap)
+    u = (jnp.arange(n_uniform) + jax.random.uniform(k1, (N, n_uniform))) / n_uniform
+    z_uni = near[:, None] + (far - near)[:, None] * u
+    has_depth = (target_d < far_cap) & (target_d > 0)
+    lo = target_d[:, None] - truncation
+    hi = target_d[:, None] + truncation * neg_trunc_ratio
+    z_dep = lo + (hi - lo) * jax.random.uniform(k2, (N, n_depth))
+    z_dep = jnp.where(has_depth[:, None], z_dep, z_uni[:, :1])
+    z = jnp.sort(jnp.concatenate([z_uni, z_dep], axis=-1), axis=-1)
+    valid = z > 0
+    return z, valid
+
+
+def sdf2weights(sdf_unused, z_vals, depth, truncation, sdf_lambda, neg_trunc_ratio, far_cap):
+    """Depth-band compositing weights (nerf_runner.py:868-877)."""
+    f = (depth[:, None] - z_vals) / truncation
+    w = jax.nn.sigmoid(f * sdf_lambda) * jax.nn.sigmoid(-f * sdf_lambda)
+    invalid = depth > far_cap
+    band = (z_vals - depth[:, None] <= truncation * neg_trunc_ratio) & (
+        z_vals - depth[:, None] >= -truncation
+    )
+    w = jnp.where(invalid[:, None], 0.0, jnp.where(band, w, 0.0))
+    return w / (w.sum(axis=-1, keepdims=True) + 1e-10)
+
+
+# ----------------------------------------------------------------- runner --
+
+
+class ObjectFieldConfig(NamedTuple):
+    n_step: int = 1000
+    n_rand: int = 2048
+    n_samples: int = 128
+    n_samples_around_depth: int = 128
+    lrate: float = 0.01
+    trunc: float = 0.01
+    neg_trunc_ratio: float = 1.0
+    sdf_lambda: float = 5.0
+    rgb_weight: float = 100.0
+    fs_weight: float = 100.0
+    empty_weight: float = 1.0
+    trunc_weight: float = 6000.0
+    fs_sdf: float = 1.0
+    feature_reg_weight: float = 0.1
+    pose_reg_weight: float = 0.01
+    far: float = 2.0
+    first_frame_weight: float = 1.0
+    sh_degree: int = 3
+    frame_feat_dim: int = 2
+    optimize_poses: bool = True
+
+
+def compute_scene_bounds(pts):
+    """Normalization like tool.py:27-38: translate to center, scale so the
+    cloud fits in [-1,1]*0.9.  Returns (sc_factor, translation)."""
+    mn, mx = pts.min(axis=0), pts.max(axis=0)
+    center = (mn + mx) / 2
+    translation = -center
+    radius = np.abs(pts + translation).max()
+    sc_factor = 0.9 / radius
+    return float(sc_factor), translation
+
+
+def make_frame_rays(rgbs, depths, masks, poses, K, sc_factor, dilate=10):
+    """Flattened per-pixel ray table (host-side, once).
+
+    Layout mirrors the reference rays tensor (nerf_runner.py:247-317):
+    [origin(3), dir(3), rgb(3), depth(1), frame_id(1)] in the NORMALIZED
+    object frame; OpenCV pinhole dirs transformed by cam-in-ob poses.
+    """
+    import cv2
+
+    n, H, W = depths.shape
+    rows = []
+    us, vs = np.meshgrid(np.arange(W), np.arange(H))
+    dirs_cam = np.stack(
+        [(us - K[0, 2]) / K[0, 0], (vs - K[1, 2]) / K[1, 1], np.ones_like(us, dtype=np.float64)],
+        axis=-1,
+    )
+    for i in range(n):
+        m = (masks[i] > 0).astype(np.uint8)
+        if dilate > 0:
+            m = cv2.dilate(m, np.ones((dilate, dilate), np.uint8))
+        ys, xs = np.where(m > 0)
+        d = depths[i][ys, xs] * sc_factor
+        d = np.where(depths[i][ys, xs] >= BAD_DEPTH * 0.9, BAD_DEPTH, d)
+        dirs = dirs_cam[ys, xs] @ poses[i][:3, :3].T
+        origins = np.tile(poses[i][:3, 3], (len(ys), 1))
+        rgb = rgbs[i][ys, xs]
+        rows.append(
+            np.concatenate(
+                [origins, dirs, rgb, d[:, None], np.full((len(ys), 1), i, dtype=np.float64)],
+                axis=-1,
+            )
+        )
+    return np.concatenate(rows).astype(np.float32)
+
+
+
+def make_loss_fn(cfg_ref: ObjectFieldConfig, spec_ref: HashGridSpec, sc: float):
+    """Build the jittable training loss (rgb + truncated-SDF terms)."""
+
+    def loss_fn(params: FieldParams, batch, key):
+        o = batch[:, 0:3]
+        d = batch[:, 3:6]
+        target_rgb = batch[:, 6:9]
+        target_d = batch[:, 9]
+        fids = batch[:, 10].astype(jnp.int32)
+
+        if cfg_ref.optimize_poses:
+            from ..ops.lie import se3_exp_map
+
+            delta = se3_exp_map(params.pose_deltas[fids])
+            o = (delta[:, :3, :3] @ o[..., None])[..., 0] + delta[:, :3, 3]
+            d = (delta[:, :3, :3] @ d[..., None])[..., 0]
+
+        # trunc/far are METERS in the config; normalize like the reference
+        # (get_truncation, nerf_runner.py:503; far*sc_factor comparisons)
+        trunc = cfg_ref.trunc * sc
+        far_n = cfg_ref.far * sc
+        z, valid = sample_z_vals(
+            key, o, d, target_d, cfg_ref.n_samples, cfg_ref.n_samples_around_depth,
+            trunc, cfg_ref.neg_trunc_ratio, far_n,
+        )
+        pts = o[:, None] + d[:, None] * z[..., None]  # (N,S,3)
+        N, S = z.shape
+        sdf, geo = field_sdf(params, pts.reshape(-1, 3), spec_ref)
+        sdf = sdf.reshape(N, S)
+        dirs_flat = jnp.repeat(d, S, axis=0)
+        ff = jnp.repeat(params.frame_features[fids], S, axis=0)
+        rgb_raw = field_color(params, geo, dirs_flat, ff, cfg_ref.sh_degree)
+        rgb = jax.nn.sigmoid(rgb_raw).reshape(N, S, 3)
+
+        w = sdf2weights(sdf, z, target_d, trunc, cfg_ref.sdf_lambda,
+                        cfg_ref.neg_trunc_ratio, far_n)
+        w = jnp.where(valid, w, 0.0)
+        rgb_map = jnp.sum(w[..., None] * rgb, axis=-2)
+
+        ray_w = jnp.where(fids == 0, cfg_ref.first_frame_weight, 1.0)
+        has_depth = target_d <= far_n
+        rgb_loss = cfg_ref.rgb_weight * jnp.mean(
+            (rgb_map - target_rgb) ** 2 * (ray_w * has_depth)[:, None]
+        )
+
+        # truncated-SDF losses (nerf_helpers.py:398-428)
+        td = target_d[:, None]
+        sample_w = ray_w[:, None] * valid
+        front = z < td - trunc
+        back = z > td + trunc * cfg_ref.neg_trunc_ratio
+        sdf_band = (~front) & (~back) & has_depth[:, None]
+        fs_mask = (~has_depth)[:, None] & (sdf < cfg_ref.fs_sdf)
+        fs_loss = cfg_ref.fs_weight * 0.5 * jnp.mean(
+            ((sdf - cfg_ref.fs_sdf) * fs_mask) ** 2 * sample_w
+        )
+        empty_mask = front & has_depth[:, None] & (sdf < 1)
+        empty_loss = cfg_ref.empty_weight * jnp.mean(
+            jnp.abs(sdf - 1.0) * empty_mask * sample_w
+        )
+        sdf_loss = cfg_ref.trunc_weight * 0.5 * jnp.mean(
+            ((z + sdf * trunc) * sdf_band - td * sdf_band) ** 2 * sample_w
+        )
+        reg = cfg_ref.feature_reg_weight * jnp.mean(params.frame_features**2)
+        pose_reg = cfg_ref.pose_reg_weight * jnp.sum(params.pose_deltas[1:] ** 2)
+        total = rgb_loss + fs_loss + empty_loss + sdf_loss + reg + pose_reg
+        return total, {
+            "rgb": rgb_loss, "fs": fs_loss, "empty": empty_loss, "sdf": sdf_loss,
+        }
+
+    return loss_fn
+
+
+class ObjectFieldRunner:
+    """NerfRunner equivalent: fit the field, extract the mesh."""
+
+    def __init__(self, cfg: ObjectFieldConfig, K, rgbs, depths, masks, cam_in_obs,
+                 spec: HashGridSpec = HashGridSpec(), seed=0):
+        """@rgbs: (N,H,W,3) uint8; @depths: (N,H,W) meters; @masks: (N,H,W);
+        @cam_in_obs: (N,4,4) camera-in-object (OpenCV pinhole convention)."""
+        self.cfg = cfg
+        self.spec = spec
+        n = len(rgbs)
+
+        depths = depths.astype(np.float64).copy()
+        depths[depths < 0.001] = BAD_DEPTH
+        rgbs = rgbs.astype(np.float64).copy()
+        rgbs[masks == 0] = BAD_COLOR
+        depths[masks == 0] = BAD_DEPTH
+
+        # scene normalization from the fused masked cloud (tool.py:65-130)
+        pts_all = []
+        for i in range(n):
+            ys, xs = np.where((masks[i] > 0) & (depths[i] < BAD_DEPTH * 0.9))
+            z = depths[i][ys, xs]
+            x = (xs - K[0, 2]) * z / K[0, 0]
+            y = (ys - K[1, 2]) * z / K[1, 1]
+            p_cam = np.stack([x, y, z], axis=-1)
+            pts_all.append(p_cam @ cam_in_obs[i][:3, :3].T + cam_in_obs[i][:3, 3])
+        pts_all = np.concatenate(pts_all)
+        self.sc_factor, self.translation = compute_scene_bounds(pts_all)
+
+        poses = cam_in_obs.copy().astype(np.float64)
+        poses[:, :3, 3] += self.translation
+        poses[:, :3, 3] *= self.sc_factor
+
+        self.rays = make_frame_rays(rgbs / 255.0, depths, masks, poses, K, self.sc_factor)
+        logging.info(f"rays: {self.rays.shape}, sc_factor {self.sc_factor:.4f}")
+
+        self.params = init_field(jax.random.PRNGKey(seed), spec, n,
+                                 cfg.frame_feat_dim, cfg.sh_degree)
+        self.tx = optax.adam(cfg.lrate)
+        self.opt_state = self.tx.init(self.params)
+        self.global_step = 0
+        self._rng = np.random.RandomState(seed)
+
+        loss_fn = make_loss_fn(cfg, spec, float(self.sc_factor))
+
+        def step(params, opt_state, batch, key):
+            (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch, key)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, parts
+
+        self._step = jax.jit(step, donate_argnums=(0, 1))
+
+    def train(self, n_steps=None, log_every=100):
+        n_steps = n_steps or self.cfg.n_step
+        key = jax.random.PRNGKey(1)
+        losses = []
+        for i in range(n_steps):
+            idx = self._rng.randint(0, len(self.rays), size=self.cfg.n_rand)
+            batch = jnp.asarray(self.rays[idx])
+            key, sub = jax.random.split(key)
+            self.params, self.opt_state, loss, parts = self._step(
+                self.params, self.opt_state, batch, sub
+            )
+            self.global_step += 1
+            losses.append(float(loss))
+            if log_every and i % log_every == 0:
+                logging.info(
+                    f"field step {i}: loss {losses[-1]:.4f} "
+                    + " ".join(f"{k}={float(v):.4f}" for k, v in parts.items())
+                )
+        return losses
+
+    # ---------------------------------------------------------- extraction --
+
+    def query_sdf_grid(self, resolution=128, chunk=1 << 17):
+        """SDF on a dense grid over [-1,1]^3 (chunked device queries)."""
+        lin = np.linspace(-1, 1, resolution)
+        pts = np.stack(np.meshgrid(lin, lin, lin, indexing="ij"), axis=-1).reshape(-1, 3)
+        out = np.empty(len(pts), dtype=np.float32)
+        fn = jax.jit(lambda p: field_sdf(self.params, p, self.spec)[0])
+        for i in range(0, len(pts), chunk):
+            end = min(i + chunk, len(pts))
+            buf = np.zeros((chunk, 3), dtype=np.float32)
+            buf[: end - i] = pts[i:end]
+            out[i:end] = np.asarray(fn(jnp.asarray(buf)))[: end - i]
+        return out.reshape(resolution, resolution, resolution)
+
+    def extract_mesh(self, resolution=128, isolevel=0.0):
+        """Marching tetrahedra over the SDF grid -> TriMesh in NORMALIZED frame
+        (reference extract_mesh, nerf_runner.py:1062-1118)."""
+        from ..io.mesh_io import TriMesh
+        from ..ops.marching import marching_tetrahedra
+
+        sdf = self.query_sdf_grid(resolution)
+        verts, faces = marching_tetrahedra(sdf, isolevel)
+        if len(verts) == 0:
+            return TriMesh(np.zeros((0, 3)), np.zeros((0, 3), np.int64))
+        verts = verts / (resolution - 1) * 2.0 - 1.0
+        return TriMesh(verts, faces)
+
+    def color_mesh(self, mesh, frame_id=0):
+        """Per-vertex colors by querying the fitted field (replaces the
+        reference's broken texture bake, nerf_runner.py:1121-1232)."""
+        if len(mesh.vertices) == 0:
+            return mesh
+        pts = jnp.asarray(mesh.vertices, dtype=jnp.float32)
+        sdf, geo = field_sdf(self.params, pts, self.spec)
+        dirs = jnp.asarray(mesh.vertex_normals, dtype=jnp.float32)
+        ff = jnp.tile(self.params.frame_features[frame_id][None], (len(mesh.vertices), 1))
+        rgb = jax.nn.sigmoid(field_color(self.params, geo, dirs, ff, self.cfg.sh_degree))
+        mesh.vertex_colors = np.asarray(rgb) * 255.0
+        return mesh
+
+    def mesh_to_real_world(self, mesh):
+        """(nerf_helpers.py:215-221)"""
+        mesh.vertices = mesh.vertices / self.sc_factor - np.asarray(self.translation).reshape(1, 3)
+        return mesh
+
+
+def run_neural_object_field(cfg: ObjectFieldConfig, K, rgbs, depths, masks, cam_in_obs,
+                            resolution=128, train_steps=None):
+    """One-call model-free mesh creation (reference run_nerf.py:18-46)."""
+    runner = ObjectFieldRunner(cfg, K, rgbs, depths, masks, cam_in_obs)
+    runner.train(train_steps)
+    mesh = runner.extract_mesh(resolution=resolution)
+    mesh = runner.color_mesh(mesh)
+    mesh = runner.mesh_to_real_world(mesh)
+    return mesh, runner

@@ -35,10 +35,12 @@ def so3_exp_map(log_rot):
     head (reference predict_pose_refine.py:222).
     """
     theta2 = jnp.sum(log_rot * log_rot, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, _EPS))
-    # sin(t)/t and (1-cos t)/t^2 with stable small-angle limits
+    # safe denominators: the untaken where-branch is still differentiated, so
+    # raw theta2 in a denominator poisons gradients at theta=0
+    th2s = jnp.maximum(theta2, _EPS)
+    theta = jnp.sqrt(th2s)
     sin_t_t = jnp.where(theta2 > _EPS, jnp.sin(theta) / theta, 1.0 - theta2 / 6.0)
-    one_m_cos_t2 = jnp.where(theta2 > _EPS, (1.0 - jnp.cos(theta)) / theta2, 0.5 - theta2 / 24.0)
+    one_m_cos_t2 = jnp.where(theta2 > _EPS, (1.0 - jnp.cos(theta)) / th2s, 0.5 - theta2 / 24.0)
     K = hat(log_rot)
     KK = K @ K
     eye = jnp.eye(3, dtype=log_rot.dtype)
@@ -86,13 +88,14 @@ def se3_exp_map(log_tf):
     """(...,6) [trans | rot] twist -> (...,4,4) homogeneous transforms."""
     v, w = log_tf[..., :3], log_tf[..., 3:]
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, _EPS))
+    th2s = jnp.maximum(theta2, _EPS)  # safe denominator (see so3_exp_map)
+    theta = jnp.sqrt(th2s)
     K = hat(w)
     KK = K @ K
     sin_t_t = jnp.where(theta2 > _EPS, jnp.sin(theta) / theta, 1.0 - theta2 / 6.0)
-    one_m_cos_t2 = jnp.where(theta2 > _EPS, (1.0 - jnp.cos(theta)) / theta2, 0.5 - theta2 / 24.0)
+    one_m_cos_t2 = jnp.where(theta2 > _EPS, (1.0 - jnp.cos(theta)) / th2s, 0.5 - theta2 / 24.0)
     t_m_sin_t3 = jnp.where(
-        theta2 > _EPS, (theta - jnp.sin(theta)) / (theta2 * theta), 1.0 / 6.0 - theta2 / 120.0
+        theta2 > _EPS, (theta - jnp.sin(theta)) / (th2s * theta), 1.0 / 6.0 - theta2 / 120.0
     )
     eye = jnp.eye(3, dtype=log_tf.dtype)
     R = eye + sin_t_t[..., None, None] * K + one_m_cos_t2[..., None, None] * KK
