@@ -53,7 +53,16 @@ def main():
 
     reader = DataReader(base_dir=SCENE, shorter_side=None, zfar=np.inf, arguments=Args())
     mesh = load_mesh(f"{SCENE}/mesh/model_scaled_down.obj")
-    est = FoundationPose(model_pts=mesh.vertices, model_normals=mesh.vertex_normals, mesh=mesh)
+
+    from sixdof_tpu.models.predict import PoseRefinePredictor, ScorePredictor
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    rckpt = os.path.join(repo, "weights", "refiner")
+    sckpt = os.path.join(repo, "weights", "scorer")
+    refiner = PoseRefinePredictor(ckpt_dir=rckpt if os.path.exists(rckpt) else None)
+    scorer = ScorePredictor(ckpt_dir=sckpt if os.path.exists(sckpt) else None)
+    est = FoundationPose(model_pts=mesh.vertices, model_normals=mesh.vertex_normals,
+                         mesh=mesh, refiner=refiner, scorer=scorer)
 
     color = reader.get_color(0)
     depth = reader.get_depth(0)
@@ -70,6 +79,15 @@ def main():
     t0 = time.perf_counter()
     pose = est.register(K=reader.color_K, rgb=color, depth=depth, ob_mask=mask, iteration=5)
     timings["register_s"] = time.perf_counter() - t0
+
+    # accuracy vs the scene's annotated GT (ADD/ADD-S over the model points)
+    from sixdof_tpu.metrics import add_err, adds_err
+
+    gt = reader.get_gt_pose(0)
+    # est.pts live in the CENTERED mesh frame; poses are for the original mesh
+    model_pts = np.asarray(est.pts) + est.model_center
+    add_s = adds_err(pose, gt, model_pts) if gt is not None else -1.0
+    add_v = add_err(pose, gt, model_pts) if gt is not None else -1.0
 
     pose_mm = reader.scale_translation_to_millimeters(pose)
     init_tf = reader.color_to_depth @ pose_mm
@@ -127,6 +145,9 @@ def main():
         "raytrace_s": round(timings["raytrace_s"], 3),
         "track_only_fps": round(timings["track_fps"], 2),
         "n_hypotheses": int(len(est.rot_grid)),
+        "adds_m": round(float(add_s), 5),
+        "add_m": round(float(add_v), 5),
+        "trained_weights": os.path.exists(rckpt),
     }
     print(json.dumps(out))
 

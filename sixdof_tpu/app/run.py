@@ -77,8 +77,13 @@ def main(args):
     to_origin, extents = oriented_bounds(mesh)
     bbox = np.stack([-extents / 2, extents / 2], axis=0).reshape(2, 3)
 
-    scorer = ScorePredictor(ckpt_dir=args.scorer_ckpt)
-    refiner = PoseRefinePredictor(ckpt_dir=args.refiner_ckpt)
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    default_sc = os.path.join(repo_root, "weights", "scorer")
+    default_rf = os.path.join(repo_root, "weights", "refiner")
+    scorer = ScorePredictor(
+        ckpt_dir=args.scorer_ckpt or (default_sc if os.path.exists(default_sc) else None))
+    refiner = PoseRefinePredictor(
+        ckpt_dir=args.refiner_ckpt or (default_rf if os.path.exists(default_rf) else None))
     est = FoundationPose(
         model_pts=mesh.vertices, model_normals=mesh.vertex_normals, mesh=mesh,
         scorer=scorer, refiner=refiner, debug_dir=debug_dir, debug=debug,

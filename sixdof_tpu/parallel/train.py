@@ -119,20 +119,26 @@ def refiner_loss(model, params, A, B, target_dt, target_dw, cfg: TrainConfig):
     return trans_loss + rot_loss
 
 
-def make_scorer_batch(key, mesh: MeshArrays, K, mesh_diameter, cfg: TrainConfig):
-    """L hypotheses around one GT pose + ADD-derived score targets."""
+def make_scorer_batch(key, mesh: MeshArrays, K, mesh_diameter, cfg: TrainConfig,
+                      n_scenes: int = 4):
+    """n_scenes x L hypotheses around GT poses + ADD-derived score targets.
+
+    All scenes' hypotheses render in ONE flat raster call (a vmap over
+    per-scene renders nests control flow too deeply for the compiler).
+    Returns A,B (n_scenes*L, H, W, 6) and target (n_scenes, L)."""
     from ..ops.geometry import compute_crop_window_tf_batch
 
     L = cfg.n_hypotheses
+    N = n_scenes * L
     k1, k2, k3 = jax.random.split(key, 3)
-    gt = _random_poses(k1, 1, cfg.z_range)
-    gt = jnp.tile(gt, (L, 1, 1))
-    # graded perturbations: hypothesis 0 near-perfect, later ones worse
-    scale = jnp.linspace(0.0, 1.0, L)
-    dt = jax.random.uniform(k2, (L, 3), minval=-1, maxval=1) * (
+    gt = _random_poses(k1, n_scenes, cfg.z_range)  # (ns,4,4)
+    gt = jnp.repeat(gt, L, axis=0)  # (ns*L,4,4)
+    # graded perturbations: hypothesis 0 of each scene near-perfect
+    scale = jnp.tile(jnp.linspace(0.0, 1.0, L), n_scenes)  # (ns*L,)
+    dt = jax.random.uniform(k2, (N, 3), minval=-1, maxval=1) * (
         scale[:, None] * mesh_diameter * 0.3
     )
-    dw = jax.random.uniform(k3, (L, 3), minval=-1, maxval=1) * (scale[:, None] * 0.6)
+    dw = jax.random.uniform(k3, (N, 3), minval=-1, maxval=1) * (scale[:, None] * 0.6)
     hyp = egocentric_delta_pose_to_pose(gt, dt, so3_exp_map(dw))
 
     tf_to_crops = compute_crop_window_tf_batch(
@@ -147,15 +153,23 @@ def make_scorer_batch(key, mesh: MeshArrays, K, mesh_diameter, cfg: TrainConfig)
     # ADD proxy: mean vertex displacement between hypothesis and gt
     vh = jnp.einsum("lij,vj->lvi", hyp[:, :3, :3], mesh.pos) + hyp[:, None, :3, 3]
     vg = jnp.einsum("lij,vj->lvi", gt[:, :3, :3], mesh.pos) + gt[:, None, :3, 3]
-    add = jnp.linalg.norm(vh - vg, axis=-1).mean(axis=-1)  # (L,)
-    target = jax.nn.softmax(-add / (0.1 * mesh_diameter))
+    add = jnp.linalg.norm(vh - vg, axis=-1).mean(axis=-1)  # (ns*L,)
+    target = (-add / (0.1 * mesh_diameter)).reshape(n_scenes, L)
     return A, B, target
 
 
 def scorer_loss(model, params, A, B, target):
-    out = model.apply({"params": params}, A, B, L=A.shape[0])
-    logits = out["score_logit"].reshape(-1)
-    return -jnp.sum(target * jax.nn.log_softmax(logits))
+    """Listwise ranking CE + direct regression on the ADD proxy.
+
+    The regression term provides per-hypothesis gradient signal even while
+    the logits are still nearly identical (early training), where softmax CE
+    alone is ~flat; @target: (n_scenes, L) = -ADD/(0.1*diameter)."""
+    ns, L = target.shape
+    out = model.apply({"params": params}, A, B, L=L)
+    logits = out["score_logit"].reshape(ns, L)
+    ce = -jnp.mean(jnp.sum(jax.nn.softmax(target) * jax.nn.log_softmax(logits), axis=-1))
+    reg = jnp.mean((logits - target) ** 2)
+    return ce + 0.3 * reg
 
 
 class RefinerTrainer:
@@ -236,7 +250,8 @@ class ScorerTrainer:
         diam = float(mesh_diameter)
 
         def step(params, opt_state, key):
-            A, B, target = make_scorer_batch(key, mesh_arrays, K_ref, diam, cfg)
+            A, B, target = make_scorer_batch(key, mesh_arrays, K_ref, diam, cfg,
+                                             n_scenes=4)
             if device_mesh is not None:
                 sh = data_sharding(device_mesh)
                 A = jax.lax.with_sharding_constraint(A, sh)

@@ -60,7 +60,7 @@ def main(scene_dir, refiner_steps=800, scorer_steps=400, out_dir=None):
     save_params(os.path.join(out_dir, "refiner"), rt.params)
 
     logging.info(f"training scorer for {scorer_steps} steps")
-    scfg = cfg._replace(n_hypotheses=16)
+    scfg = cfg._replace(n_hypotheses=12, lr=3e-4)
     st = ScorerTrainer(ScoreNetMultiPair(c_in=6), arrays, K, diameter, scfg)
     t0 = time.time()
     losses = st.train(scorer_steps, log_every=50)
