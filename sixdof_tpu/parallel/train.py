@@ -282,9 +282,14 @@ class ScorerTrainer:
 
 
 def save_params(path, params):
-    import orbax.checkpoint as ocp
     import os
+    import shutil
 
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    if os.path.exists(path):
+        shutil.rmtree(path)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.abspath(path), {"params": jax.tree.map(np.asarray, params)})
+    ckptr.save(path, {"params": jax.tree.map(np.asarray, params)})
     ckptr.wait_until_finished()
