@@ -195,13 +195,14 @@ class FoundationPose:
         from .models.predict import track_pose_jit
 
         ref = self.refiner
-        rgb01 = jnp.asarray(np.asarray(rgb), dtype=jnp.float32)
-        if float(np.asarray(rgb).max(initial=0.0)) > 1.5:
-            rgb01 = rgb01 / 255.0
+        rgb_np = np.asarray(rgb)
+        if rgb_np.dtype != np.uint8:
+            rgb_np = (rgb_np * 255).clip(0, 255).astype(np.uint8) if rgb_np.max() <= 1.5 \
+                else rgb_np.astype(np.uint8)
         pose, _depth_filtered = track_pose_jit(
             ref.model, ref.params, self.mesh_tensors,
             jnp.asarray(np.asarray(self.pose_last).reshape(1, 4, 4), dtype=jnp.float32),
-            rgb01, jnp.asarray(np.asarray(depth), dtype=jnp.float32),
+            jnp.asarray(rgb_np), jnp.asarray(np.asarray(depth), dtype=jnp.float32),
             jnp.asarray(K, dtype=jnp.float32), float(self.diameter),
             float(ref.cfg["crop_ratio"]), float(ref.cfg["trans_normalizer"]),
             float(ref.cfg["rot_normalizer"]), iterations=int(iteration),

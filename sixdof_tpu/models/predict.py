@@ -174,20 +174,22 @@ def score_poses_jit(
     static_argnames=("model", "iterations", "out_hw", "normalize_xyz", "trans_rep", "rot_rep"),
 )
 def track_pose_jit(
-    model, params, mesh: MeshArrays, pose_last, rgb01, depth_raw, K, mesh_diameter,
+    model, params, mesh: MeshArrays, pose_last, rgb_u8, depth_raw, K, mesh_diameter,
     crop_ratio, trans_normalizer, rot_normalizer, iterations: int, out_hw=(160, 160),
     normalize_xyz=False, trans_rep="tracknet", rot_rep="axis_angle",
 ):
     """Fused tracking step: depth erode+bilateral -> xyz map -> refine scan.
 
     One device dispatch per frame (the reference issues several GPU kernels +
-    host syncs per frame, estimater.py:254-266); returns (pose (1,4,4),
+    host syncs per frame, estimater.py:254-266); @rgb_u8 arrives as uint8 and
+    converts on device (4x less host->device traffic).  Returns (pose (1,4,4),
     depth_filtered) so the host can reuse the cleaned depth without a second
     pass.
     """
     from ..ops.depth_filter import bilateral_filter_depth, erode_depth
     from ..ops.geometry import depth2xyzmap
 
+    rgb01 = rgb_u8.astype(jnp.float32) / 255.0
     depth = erode_depth(depth_raw, radius=2)
     depth = bilateral_filter_depth(depth, radius=2)
     xyz_map = depth2xyzmap(depth, K)
