@@ -1,0 +1,116 @@
+"""Parity harness: full pipeline replay + ADD(-S) accuracy + pose logs.
+
+The reference publishes no numbers (BASELINE.md); parity is established
+empirically by replaying a scene and checking (a) per-frame `ob_in_cam`
+pose logs against annotated GT with the ADD/ADD-S metrics the reference
+ships-but-never-wires (Utils.py:232-266, estimater.py:241-245), and (b) the
+defect point-cloud output lands on the true mesh surface.
+
+Usage: python tools/parity_check.py [scene_dir] [n_frames]
+Prints a JSON summary.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main(scene_dir, n_frames=None):
+    import logging
+
+    logging.disable(logging.INFO)
+
+    from sixdof_tpu.app.defect_projection import ray_tracing
+    from sixdof_tpu.app.icp_pipeline import refine_pose_with_icp
+    from sixdof_tpu.estimater import FoundationPose
+    from sixdof_tpu.io.mesh_io import load_mesh
+    from sixdof_tpu.io.readers import DataReader
+    from sixdof_tpu.metrics import add_err, adds_err, compute_auc, rotation_angle_deg
+    from sixdof_tpu.models.predict import PoseRefinePredictor, ScorePredictor
+
+    class Args:
+        debug = 0
+        box = None
+        mesh = None
+        voxel_size = None
+
+    reader = DataReader(base_dir=scene_dir, shorter_side=None, zfar=np.inf, arguments=Args())
+    mesh = load_mesh(f"{scene_dir}/mesh/model_scaled_down.obj")
+    rckpt = os.path.join(REPO, "weights", "refiner")
+    sckpt = os.path.join(REPO, "weights", "scorer")
+    est = FoundationPose(
+        model_pts=mesh.vertices, model_normals=mesh.vertex_normals, mesh=mesh,
+        refiner=PoseRefinePredictor(ckpt_dir=rckpt if os.path.exists(rckpt) else None),
+        scorer=ScorePredictor(ckpt_dir=sckpt if os.path.exists(sckpt) else None),
+    )
+    model_pts = np.asarray(est.pts) + est.model_center
+
+    n = n_frames or len(reader)
+    adds, adds_all, rot_errs, t_errs = [], [], [], []
+    poses_out = []
+    for i in range(min(n, len(reader))):
+        color = reader.get_color(i)
+        depth = reader.get_depth(i)
+        if i == 0:
+            mask = reader.get_mask(color, i).astype(bool)
+            pose = est.register(K=reader.color_K, rgb=color, depth=depth, ob_mask=mask,
+                                iteration=5)
+        else:
+            pose = est.track_one(rgb=color, depth=depth, K=reader.color_K, iteration=2)
+        poses_out.append(pose)
+        gt = reader.get_gt_pose(i)
+        if gt is not None:
+            adds.append(adds_err(pose, gt, model_pts))
+            adds_all.append(add_err(pose, gt, model_pts))
+            rot_errs.append(rotation_angle_deg(pose[:3, :3], gt[:3, :3]))
+            t_errs.append(float(np.linalg.norm(pose[:3, 3] - gt[:3, 3])))
+
+    # classical refinement parity on frame 0 (mm)
+    source = reader.get_source(0)
+    pose_mm = reader.scale_translation_to_millimeters(poses_out[0])
+    init_tf = reader.color_to_depth @ pose_mm
+    _, icp_result, z_adj, _ = refine_pose_with_icp(
+        source, reader.target, reader.background, init_tf.copy(), reader.parameters
+    )
+
+    # defect projection lands on the mesh surface
+    heatmap, _, _, _ = reader.get_heatmap(reader.get_color(0))
+    tm = reader.target_mesh.copy()
+    tm.transform(np.linalg.inv(icp_result.transformation))
+    pcd, tmesh = ray_tracing(reader.base_dir, tm, heatmap, reader.color_pinhole, 0.75)
+    surf_dist = -1.0
+    if len(pcd) > 0:
+        from scipy.spatial import cKDTree
+
+        verts = tmesh.vertices
+        d, _ = cKDTree(verts).query(pcd.points, k=1, workers=-1)
+        surf_dist = float(np.median(d))
+
+    diam = est.diameter
+    out = {
+        "frames": len(poses_out),
+        "adds_mean_m": float(np.mean(adds)) if adds else -1,
+        "add_mean_m": float(np.mean(adds_all)) if adds_all else -1,
+        "adds_auc_0.1d": compute_auc(adds, max_val=0.1 * diam) if adds else -1,
+        "rot_err_deg_mean": float(np.mean(rot_errs)) if rot_errs else -1,
+        "t_err_m_mean": float(np.mean(t_errs)) if t_errs else -1,
+        "icp_fitness": icp_result.fitness,
+        "icp_rmse_mm": icp_result.inlier_rmse,
+        "defect_pts": len(pcd),
+        "defect_surface_median_dist_mm": surf_dist,
+        "mesh_diameter_m": diam,
+    }
+    print(json.dumps(out, indent=1))
+    return out
+
+
+if __name__ == "__main__":
+    scene = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "demo_data", "synth_box")
+    nf = int(sys.argv[2]) if len(sys.argv) > 2 else None
+    main(scene, nf)
