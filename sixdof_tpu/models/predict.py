@@ -63,6 +63,9 @@ DEFAULT_SCORER_CFG = dict(
     c_in=6,
     zfar=np.inf,
     normalize_xyz=False,
+    # 'network' = reference-faithful learned scorer; 'depth' = analytic
+    # render-vs-observed alignment (no training needed); 'hybrid' = both
+    score_mode="hybrid",
 )
 
 
@@ -154,19 +157,57 @@ def refine_poses_jit(
     return poses
 
 
-@functools.partial(jax.jit, static_argnames=("model", "out_hw", "normalize_xyz"))
+def _depth_alignment_score(A, B, rend, poses, mesh_diameter):
+    """Analytic render-vs-observed consistency score (higher = better).
+
+    Model-based alternative/complement to the learned scorer: compares the
+    hypothesis render's xyz map against the observed xyz map inside the crop.
+    Pixels the render covers but the sensor contradicts (or lacks) count
+    against the hypothesis; color agreement adds a small term.
+    """
+    alpha = rend["alpha"]  # (B,H,W)
+    xyzA = A[..., 3:6]
+    xyzB = B[..., 3:6]
+    # observed-valid: the warped xyz z-channel is (z - center_z); invalid
+    # observed pixels carry xyz=0 -> z-channel == -center_z exactly
+    center_z = poses[:, 2, 3][:, None, None]
+    obs_valid = jnp.abs(xyzB[..., 2] + center_z) > 1e-6
+    both = (alpha > 0) & obs_valid
+    d = jnp.linalg.norm(xyzA - xyzB, axis=-1)
+    d = jnp.clip(d, 0.0, mesh_diameter)  # cap outlier influence
+    n_both = jnp.maximum(both.sum(axis=(1, 2)), 1)
+    geom = -jnp.sum(jnp.where(both, d, 0.0), axis=(1, 2)) / n_both
+    # coverage consistency: render pixels with no valid observation are suspect
+    n_rend = jnp.maximum((alpha > 0).sum(axis=(1, 2)), 1)
+    overlap = n_both / n_rend
+    col = -jnp.sum(
+        jnp.where(both[..., None], jnp.abs(A[..., :3] - B[..., :3]), 0.0), axis=(1, 2, 3)
+    ) / (3 * n_both)
+    return geom / (0.05 * mesh_diameter) + overlap + 0.5 * col
+
+
+@functools.partial(jax.jit, static_argnames=("model", "out_hw", "normalize_xyz", "mode"))
 def score_poses_jit(
     model, params, mesh: MeshArrays, poses, rgb01, xyz_map, K, mesh_diameter,
-    crop_ratio, out_hw=(160, 160), normalize_xyz=False,
+    crop_ratio, out_hw=(160, 160), normalize_xyz=False, mode="network",
 ):
-    """Single-pass hypothesis scoring (tournament degenerates to one pass)."""
-    A, B, _, _ = _make_AB(
+    """Single-pass hypothesis scoring (tournament degenerates to one pass).
+
+    @mode: 'network' (reference-faithful learned scorer), 'depth' (analytic
+    render-vs-observed alignment — training-free), or 'hybrid' (sum).
+    """
+    A, B, _, rend = _make_AB(
         mesh, poses, rgb01, xyz_map, K, crop_ratio, mesh_diameter, out_hw,
         normalize_xyz, invalid_z_thresh=0.1,
     )
-    out = model.apply({"params": params}, A, B, L=poses.shape[0])
-    # the winning pass gets +100 like scores_global[global_ids] = scores + 100
-    return out["score_logit"].reshape(-1) + 100.0
+    score = 0.0
+    if mode in ("network", "hybrid"):
+        out = model.apply({"params": params}, A, B, L=poses.shape[0])
+        # the winning pass gets +100 like scores_global[global_ids] = scores+100
+        score = score + out["score_logit"].reshape(-1) + 100.0
+    if mode in ("depth", "hybrid"):
+        score = score + _depth_alignment_score(A, B, rend, poses, mesh_diameter)
+    return score
 
 
 @functools.partial(
@@ -325,5 +366,6 @@ class ScorePredictor(_PredictorBase):
             float(self.cfg["crop_ratio"]),
             out_hw=tuple(self.cfg["input_resize"]),
             normalize_xyz=bool(self.cfg["normalize_xyz"]),
+            mode=self.cfg.get("score_mode", "network"),
         )
         return scores, None

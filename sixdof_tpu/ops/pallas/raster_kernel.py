@@ -1,0 +1,120 @@
+"""Pallas TPU kernel for the z-buffer rasterization core.
+
+The rasterizer's inner loop — evaluate triangle-chunk edge functions over a
+pixel tile, select the nearest covering triangle — is the framework's hottest
+custom op (252 hypotheses x ~10 renders per registration).  The XLA scan
+version (ops/rasterize.py:_rasterize_one) materializes (chunk, pixels)
+intermediates in HBM between scan steps; this kernel keeps the z/tid
+accumulators and all chunk temporaries resident in VMEM:
+
+  grid = (pose, pixel_tile, tri_chunk)   [tri_chunk fastest]
+  - per step: one (4C,3)x(3,TILE) matmul (MXU) + VPU inside/min/select
+  - the (1,TILE) z-buffer/tid output block is revisited across consecutive
+    tri_chunk steps, so accumulation never leaves VMEM
+  - triangle validity is folded into the plane coefficients at setup
+    (invalid rows evaluate to "never inside"), so the kernel is branch-free.
+
+Layout contract: coefficients arrive as (B, K, 4C, 3) with rows GROUPED
+[all l0 | all l1 | all l2 | all inv_z] so in-kernel slices are contiguous.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 3.0e38  # python scalar: jnp constants would be captured tracers
+
+
+def _kernel(coef_ref, z_ref, tid_ref, *, C, TILE, W):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        z_ref[...] = jnp.full((1, TILE), _BIG, dtype=jnp.float32)
+        tid_ref[...] = jnp.full((1, TILE), -1, dtype=jnp.int32)
+
+    t = pl.program_id(1)
+    pid = t * TILE + jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
+    px = (pid % W).astype(jnp.float32)
+    py = (pid // W).astype(jnp.float32)
+    pix = jnp.concatenate([px, py, jnp.ones_like(px)], axis=0)  # (3,TILE)
+
+    c = coef_ref[0, 0]  # (4C, 3)
+    vals = jax.lax.dot_general(
+        c, pix, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (4C, TILE)
+    l0 = vals[0:C]
+    l1 = vals[C : 2 * C]
+    l2 = vals[2 * C : 3 * C]
+    iz = vals[3 * C : 4 * C]
+    inside = (l0 >= 0) & (l1 >= 0) & (l2 >= 0) & (iz > 1e-12)
+    z = jnp.where(inside, 1.0 / jnp.maximum(iz, 1e-12), _BIG)  # (C,TILE)
+
+    zmin = jnp.min(z, axis=0, keepdims=True)  # (1,TILE)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (C, TILE), 0)
+    cand = jnp.where(z <= zmin, idx, jnp.int32(2**30))
+    tbest = jnp.min(cand, axis=0, keepdims=True)  # (1,TILE)
+
+    closer = (zmin < z_ref[...]) & (zmin < _BIG)
+    z_ref[...] = jnp.where(closer, zmin, z_ref[...])
+    tid_ref[...] = jnp.where(closer, k * C + tbest, tid_ref[...])
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W", "tri_chunk", "tile", "interpret"))
+def rasterize_zbuffer_pallas(coef_grouped, H, W, tri_chunk=128, tile=2048, interpret=False):
+    """@coef_grouped: (B, K, 4C, 3) grouped plane coefficients.
+
+    Returns (zbuf (B, H*W) [0 where miss], tid (B, H*W) int32 [-1 = miss]).
+    """
+    B, K, C4, _ = coef_grouped.shape
+    C = C4 // 4
+    P = H * W
+    pad = (-P) % tile
+    P_pad = P + pad
+    n_tiles = P_pad // tile
+
+    grid = (B, n_tiles, K)
+    zbuf, tid = pl.pallas_call(
+        functools.partial(_kernel, C=C, TILE=tile, W=W),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, C4, 3), lambda b, t, k: (b, k, 0, 0),
+                         memory_space=pltpu.ANY if False else pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile), lambda b, t, k: (b, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda b, t, k: (b, t), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, P_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, P_pad), jnp.int32),
+        ],
+        interpret=interpret,
+    )(coef_grouped)
+    zbuf = zbuf[:, :P]
+    tid = tid[:, :P]
+    zbuf = jnp.where(tid >= 0, zbuf, 0.0)
+    return zbuf, tid
+
+
+def group_coefficients(coef, valid, tri_chunk=128):
+    """(B,T,4,3) interleaved + validity -> (B,K,4C,3) grouped for the kernel.
+
+    Invalid/padded triangles get l0 = [0,0,-1] (never inside).
+    """
+    B, T, _, _ = coef.shape
+    pad = (-T) % tri_chunk
+    coef = jnp.pad(coef, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    valid = jnp.pad(valid, ((0, 0), (0, pad)))
+    never = jnp.zeros((1, 1, 4, 3), dtype=coef.dtype).at[0, 0, 0].set(
+        jnp.asarray([0.0, 0.0, -1.0])
+    )
+    coef = jnp.where(valid[..., None, None], coef, never)
+    K = (T + pad) // tri_chunk
+    # (B,K,C,4,3) -> per-chunk grouped rows (B,K,4,C,3) -> (B,K,4C,3)
+    c = coef.reshape(B, K, tri_chunk, 4, 3).transpose(0, 1, 3, 2, 4)
+    return c.reshape(B, K, 4 * tri_chunk, 3)

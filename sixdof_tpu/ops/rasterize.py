@@ -211,7 +211,8 @@ def _sample_texture(tex, uv):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("out_hw", "tri_chunk", "pose_chunk", "get_normal", "use_light"),
+    static_argnames=("out_hw", "tri_chunk", "pose_chunk", "get_normal", "use_light",
+                     "use_pallas"),
 )
 def render_batch(
     mesh: MeshArrays,
@@ -227,6 +228,7 @@ def render_batch(
     w_ambient=0.8,
     w_diffuse=0.5,
     light_dir=(0.0, 0.0, 1.0),
+    use_pallas=None,
 ):
     """Render N hypotheses into their crop windows.
 
@@ -244,7 +246,7 @@ def render_batch(
     light = jnp.asarray(light_dir, dtype=jnp.float32)
     light = light / jnp.linalg.norm(light)
 
-    def render_one(pose, crop_tf):
+    def vertex_setup(pose, crop_tf):
         R, t = pose[:3, :3], pose[:3, 3]
         p_cam = mesh.pos @ R.T + t  # (V,3)
         z = p_cam[:, 2]
@@ -252,8 +254,10 @@ def render_batch(
         uv = uvw[:, :2] / jnp.maximum(uvw[:, 2:3], znear)
         uvh = jnp.concatenate([uv, jnp.ones_like(uv[:, :1])], axis=-1)
         uv_crop = (uvh @ crop_tf.T)[:, :2]
+        return p_cam, z, uv_crop
 
-        tid, bary, zbuf = _rasterize_one(uv_crop, z, mesh.faces, (H, W), tri_chunk, znear)
+    def shade(pose, p_cam, z, tid, bary, zbuf):
+        R = pose[:3, :3]
         alpha = (tid >= 0).astype(jnp.float32)
 
         xyz = _interpolate(p_cam, mesh.faces, tid, bary, z, zbuf)
@@ -280,6 +284,42 @@ def render_batch(
         if get_normal:
             out["normal"] = normal
         return out
+
+    def render_one(pose, crop_tf):
+        p_cam, z, uv_crop = vertex_setup(pose, crop_tf)
+        tid, bary, zbuf = _rasterize_one(uv_crop, z, mesh.faces, (H, W), tri_chunk, znear)
+        return shade(pose, p_cam, z, tid, bary, zbuf)
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+    if use_pallas:
+        from .pallas.raster_kernel import group_coefficients, rasterize_zbuffer_pallas
+
+        p_cam, z_all, uv_all = jax.vmap(vertex_setup)(poses, crop_tfs.astype(jnp.float32))
+        coef, valid = jax.vmap(lambda uv, z: _tri_setup(uv, z, mesh.faces, znear))(
+            uv_all, z_all
+        )
+        pc = 128
+        grouped = group_coefficients(coef, valid, tri_chunk=pc)
+        zbuf_flat, tid_flat = rasterize_zbuffer_pallas(grouped, H, W, tri_chunk=pc)
+
+        T_pad = grouped.shape[1] * pc
+        coef_pad = jnp.pad(coef, ((0, 0), (0, T_pad - coef.shape[1]), (0, 0), (0, 0)))
+
+        def finish(pose, p_cam_i, z_i, zbuf_i, tid_i, coef_i):
+            tid2 = tid_i.reshape(H, W)
+            zb = zbuf_i.reshape(H, W)
+            # winner barycentrics recomputed once per pixel
+            px = jnp.tile(jnp.arange(W, dtype=jnp.float32)[None, :], (H, 1)).reshape(-1)
+            py = jnp.repeat(jnp.arange(H, dtype=jnp.float32), W)
+            pix = jnp.stack([px, py, jnp.ones_like(px)], axis=0)
+            cw = coef_i[jnp.maximum(tid2.reshape(-1), 0)]
+            lw = jnp.einsum("pki,ip->pk", cw[:, :3], pix)
+            bary = lw.reshape(H, W, 3)
+            return shade(pose, p_cam_i, z_i, tid2, bary, zb)
+
+        outs = jax.vmap(finish)(poses, p_cam, z_all, zbuf_flat, tid_flat, coef_pad)
+        return outs
 
     # chunk the hypothesis batch to bound the (chunk, tri_chunk, H, W) temps
     pose_chunk = min(pose_chunk, B)

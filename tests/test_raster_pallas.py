@@ -1,0 +1,90 @@
+"""Pallas raster kernel (interpret mode on CPU) vs the XLA scan path."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sixdof_tpu.io import mesh_io
+from sixdof_tpu.ops import rasterize as ras
+from sixdof_tpu.ops.pallas.raster_kernel import group_coefficients, rasterize_zbuffer_pallas
+
+
+def box_mesh():
+    v = np.array(
+        [[-0.05, -0.04, -0.03], [0.05, -0.04, -0.03], [0.05, 0.04, -0.03], [-0.05, 0.04, -0.03],
+         [-0.05, -0.04, 0.03], [0.05, -0.04, 0.03], [0.05, 0.04, 0.03], [-0.05, 0.04, 0.03]]
+    )
+    f = np.array([[0, 2, 1], [0, 3, 2], [4, 5, 6], [4, 6, 7], [0, 1, 5], [0, 5, 4],
+                  [2, 3, 7], [2, 7, 6], [1, 2, 6], [1, 6, 5], [3, 0, 4], [3, 4, 7]])
+    return mesh_io.TriMesh(v, f)
+
+
+def test_pallas_kernel_matches_xla_scan():
+    mesh = box_mesh()
+    arrays = ras.make_mesh_arrays(mesh)
+    K = jnp.asarray(np.array([[300.0, 0, 64], [0, 300.0, 64], [0, 0, 1]], dtype=np.float32))
+    H = W = 128
+    poses = np.tile(np.eye(4, dtype=np.float32)[None], (3, 1, 1))
+    poses[:, 2, 3] = [0.4, 0.5, 0.6]
+    poses[1, :3, :3] = np.array(
+        [[0.936, -0.275, 0.218], [0.289, 0.957, -0.033], [-0.2, 0.094, 0.975]], dtype=np.float32
+    )
+    poses = jnp.asarray(poses)
+
+    # XLA reference path
+    ref = ras.render_batch(arrays, poses, K, None, out_hw=(H, W), use_pallas=False)
+
+    # pallas kernel path (interpret mode on CPU)
+    def setup(pose):
+        p_cam = arrays.pos @ pose[:3, :3].T + pose[:3, 3]
+        z = p_cam[:, 2]
+        uvw = p_cam @ K.T
+        uv = uvw[:, :2] / jnp.maximum(uvw[:, 2:3], 0.001)
+        return uv, z
+
+    uv, z = jax.vmap(setup)(poses)
+    coef, valid = jax.vmap(lambda u, zz: ras._tri_setup(u, zz, arrays.faces, 0.001))(uv, z)
+    grouped = group_coefficients(coef, valid, tri_chunk=32)
+    zbuf, tid = rasterize_zbuffer_pallas(grouped, H, W, tri_chunk=32, tile=512, interpret=True)
+
+    for b in range(3):
+        ref_d = np.asarray(ref["depth"][b]).reshape(-1)
+        got_d = np.asarray(zbuf[b])
+        cover_ref = ref_d > 0
+        cover_got = got_d > 0
+        assert np.mean(cover_ref != cover_got) < 0.005
+        both = cover_ref & cover_got
+        np.testing.assert_allclose(got_d[both], ref_d[both], atol=1e-4)
+
+
+def test_render_batch_pallas_interpret_full():
+    """Full render_batch through the pallas path (interpret) vs XLA."""
+    mesh = box_mesh()
+    mesh.vertex_colors = np.tile(np.array([[200, 120, 60.0]]), (8, 1))
+    arrays = ras.make_mesh_arrays(mesh)
+    K = np.array([[300.0, 0, 64], [0, 300.0, 48], [0, 0, 1]])
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = [0.01, 0.0, 0.45]
+    # interpret mode: patch the kernel call to interpret=True via monkeypatch
+    import functools
+
+    import sixdof_tpu.ops.pallas.raster_kernel as rk
+
+    orig = rk.rasterize_zbuffer_pallas
+    rk.rasterize_zbuffer_pallas = functools.partial(orig, interpret=True)
+    try:
+        out_p = ras.render_batch(arrays, jnp.asarray(pose[None]), jnp.asarray(K, dtype=jnp.float32),
+                                 None, out_hw=(96, 128), use_pallas=True)
+    finally:
+        rk.rasterize_zbuffer_pallas = orig
+    out_x = ras.render_batch(arrays, jnp.asarray(pose[None]), jnp.asarray(K, dtype=jnp.float32),
+                             None, out_hw=(96, 128), use_pallas=False)
+    a_p = np.asarray(out_p["alpha"][0])
+    a_x = np.asarray(out_x["alpha"][0])
+    assert np.mean(a_p != a_x) < 0.005
+    both = (a_p > 0) & (a_x > 0)
+    np.testing.assert_allclose(
+        np.asarray(out_p["color"][0])[both], np.asarray(out_x["color"][0])[both], atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_p["depth"][0])[both], np.asarray(out_x["depth"][0])[both], atol=1e-4
+    )
