@@ -413,3 +413,57 @@ def determine_pose(source, target, background, initial_fp_transformation, parame
     target_transformed = target.copy()
     target_transformed.transform(np.linalg.inv(best_result_icp.transformation))
     return target_transformed, best_result_icp, z_adjustment, target_processed
+
+
+# ------------------------------------------------------------------- demos --
+
+
+def demo_data(base_dir="demo_data/synth_box", frame="0000"):
+    """Load the standalone-ICP demo inputs (reference src/pose_estimation.py:19-32)."""
+    import json
+
+    from ..io.mesh_io import load_point_cloud
+
+    source = load_point_cloud(f"{base_dir}/pcd/cloud_{frame}.ply")
+    background = load_point_cloud(f"{base_dir}/background/box.ply")
+    target = load_point_cloud(f"{base_dir}/mesh/model.ply")
+
+    pose_file = f"debug/ob_in_cam/{frame}.txt"
+    if not __import__("os").path.exists(pose_file):
+        pose_file = f"{base_dir}/annotated_poses/{frame}.txt"
+    fp_transformation = np.loadtxt(pose_file).reshape(4, 4)
+    scaled = fp_transformation.copy()
+    scaled[:3, -1] *= 1000.0
+
+    with open(f"{base_dir}/configs/camera_extrinsics.json") as f:
+        ext = json.load(f)
+    color_to_depth = np.eye(4)
+    color_to_depth[:3, :3] = np.array(ext["color_to_depth"]["rotation_matrix"])
+    color_to_depth[:3, 3] = np.array(ext["color_to_depth"]["translation_vector"]).reshape(-1)[:3]
+    initial = color_to_depth @ scaled
+    with open(f"{base_dir}/configs/icp_parameters.json") as f:
+        icp_param = json.load(f)
+    return target, source, background, initial, icp_param
+
+
+def demo_icp(base_dir="demo_data/synth_box", tries=1, icp=False):
+    """Standalone timed ICP replay (reference src/pose_estimation.py:824-859)."""
+    import time
+
+    target, source, background, initial, icp_param = demo_data(base_dir)
+    t0 = time.perf_counter()
+    for i in range(tries):
+        determine_pose(source, target, background, initial.copy(), icp_param, icp=icp)
+        logging.info(f"Try number {i}")
+    total = time.perf_counter() - t0
+    logging.info(f"Average time for {tries} iterations {total / tries}\n Total time {total}")
+    return total / tries
+
+
+if __name__ == "__main__":
+    import sys
+
+    from ..utils import set_logging_format
+
+    set_logging_format()
+    demo_icp(sys.argv[1] if len(sys.argv) > 1 else "demo_data/synth_box")

@@ -471,6 +471,40 @@ class ObjectFieldRunner:
                 )
         return losses
 
+    # -------------------------------------------------------- checkpointing --
+
+    def save_weights(self, path):
+        """Orbax checkpoint of field params + optimizer + step (the reference
+        saves model/optimizer/embedders/pose+feature arrays, nerf_runner.py:
+        393-421)."""
+        from ..parallel.train import save_params
+
+        save_params(path, {
+            "field": self.params._asdict(),
+            "step": np.asarray(self.global_step),
+            "sc_factor": np.asarray(self.sc_factor),
+            "translation": np.asarray(self.translation),
+        })
+
+    def load_weights(self, path):
+        import os
+
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(os.path.abspath(path))
+        f = restored["params"]["field"]
+        self.params = FieldParams(
+            table=jnp.asarray(f["table"]),
+            sigma_w=tuple(tuple(jnp.asarray(a) for a in lw) for lw in f["sigma_w"]),
+            color_w=tuple(tuple(jnp.asarray(a) for a in lw) for lw in f["color_w"]),
+            frame_features=jnp.asarray(f["frame_features"]),
+            pose_deltas=jnp.asarray(f["pose_deltas"]),
+        )
+        self.global_step = int(restored["params"]["step"])
+        self.opt_state = self.tx.init(self.params)
+        return self
+
     # ---------------------------------------------------------- extraction --
 
     def query_sdf_grid(self, resolution=128, chunk=1 << 17):

@@ -1,0 +1,82 @@
+"""Model-free mesh creation driver (reference bundlesdf/run_nerf.py:18-102).
+
+Fits the neural object field to a recorded scene's masked RGB-D frames using
+the tracked poses (annotated_poses/ or debug/ob_in_cam logs), extracts a
+colored mesh, and writes it where the pose pipeline expects a CAD model —
+closing the model-free loop: track -> reconstruct -> use as target mesh.
+
+Usage: python tools/run_object_field.py [scene_dir] [out_mesh.obj] [steps]
+"""
+from __future__ import annotations
+
+import glob
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main(scene_dir, out_mesh=None, steps=1000, resolution=128):
+    import cv2
+
+    from sixdof_tpu.models.object_field import (
+        HashGridSpec, ObjectFieldConfig, run_neural_object_field,
+    )
+    from sixdof_tpu.io.mesh_io import save_mesh
+    from sixdof_tpu.io.readers import DataReader
+    from sixdof_tpu.utils import set_logging_format
+
+    set_logging_format()
+
+    class Args:
+        debug = 0
+        box = None
+        mesh = None
+        voxel_size = None
+
+    reader = DataReader(base_dir=scene_dir, shorter_side=None, zfar=np.inf, arguments=Args())
+
+    pose_files = sorted(glob.glob(f"{scene_dir}/annotated_poses/*.txt"))
+    if not pose_files:
+        pose_files = sorted(glob.glob(f"{REPO}/debug/ob_in_cam/*.txt"))
+    if not pose_files:
+        raise RuntimeError("no poses found (annotated_poses/ or debug/ob_in_cam/)")
+
+    rgbs, depths, masks, cam_in_obs = [], [], [], []
+    mask0 = reader.get_mask(reader.get_color(0), 0)
+    for i in range(min(len(reader), len(pose_files))):
+        color = reader.get_color(i)
+        depth = reader.get_depth(i)
+        ob_in_cam = np.loadtxt(pose_files[i]).reshape(4, 4)
+        cam_in_obs.append(np.linalg.inv(ob_in_cam))
+        rgbs.append(color)
+        depths.append(depth)
+        # per-frame mask: project frame-0 mask forward is complex; use depth
+        # validity x frame-0 mask for frame 0, object-depth band otherwise
+        if i == 0:
+            masks.append((mask0 > 0).astype(np.uint8))
+        else:
+            m = (depth > 0.001) & (np.abs(depth - np.median(depth[mask0 > 0])) < 0.2)
+            masks.append(m.astype(np.uint8))
+
+    cfg = ObjectFieldConfig(n_step=steps)
+    mesh, runner = run_neural_object_field(
+        cfg, np.asarray(reader.color_K), np.stack(rgbs), np.stack(depths),
+        np.stack(masks), np.stack(cam_in_obs), resolution=resolution,
+        train_steps=steps,
+    )
+    out_mesh = out_mesh or f"{scene_dir}/mesh/model_free.obj"
+    save_mesh(out_mesh, mesh)
+    runner.save_weights(f"{scene_dir}/field_ckpt")
+    print(f"wrote {out_mesh} ({len(mesh.vertices)} verts) + field_ckpt")
+    return out_mesh
+
+
+if __name__ == "__main__":
+    scene = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "demo_data", "synth_box")
+    out = sys.argv[2] if len(sys.argv) > 2 else None
+    steps = int(sys.argv[3]) if len(sys.argv) > 3 else 1000
+    main(scene, out, steps)
