@@ -176,14 +176,15 @@ class RefinerTrainer:
     """DP/TP-sharded training loop for the refiner."""
 
     def __init__(self, model, mesh_arrays: MeshArrays, K, mesh_diameter,
-                 cfg: TrainConfig = TrainConfig(), device_mesh=None, params=None):
+                 cfg: TrainConfig = TrainConfig(), device_mesh=None, params=None,
+                 tx=None):
         self.model = model
         self.mesh_arrays = mesh_arrays
         self.K = jnp.asarray(K, dtype=jnp.float32)
         self.mesh_diameter = float(mesh_diameter)
         self.cfg = cfg
         self.device_mesh = device_mesh
-        self.tx = optax.adam(cfg.lr)
+        self.tx = tx if tx is not None else optax.adam(cfg.lr)
         if params is None:
             dummy = jnp.zeros((1, *cfg.input_hw, 6), dtype=jnp.float32)
             params = model.init(jax.random.PRNGKey(0), dummy, dummy)["params"]
@@ -237,10 +238,11 @@ class ScorerTrainer:
     """Listwise hypothesis-ranking trainer for the scorer."""
 
     def __init__(self, model, mesh_arrays: MeshArrays, K, mesh_diameter,
-                 cfg: TrainConfig = TrainConfig(), device_mesh=None, params=None):
+                 cfg: TrainConfig = TrainConfig(), device_mesh=None, params=None,
+                 tx=None):
         self.model = model
         self.cfg = cfg
-        self.tx = optax.adam(cfg.lr)
+        self.tx = tx if tx is not None else optax.adam(cfg.lr)
         if params is None:
             dummy = jnp.zeros((cfg.n_hypotheses, *cfg.input_hw, 6), dtype=jnp.float32)
             params = model.init(jax.random.PRNGKey(0), dummy, dummy, cfg.n_hypotheses)["params"]

@@ -34,3 +34,31 @@ def timeit(func):
         return result
 
     return wrapper
+
+
+def rle_to_mask(rle: dict):
+    """Uncompressed RLE -> bool mask (reference Utils.py:442-453)."""
+    h, w = rle["size"]
+    mask = np.empty(h * w, dtype=bool)
+    idx = 0
+    parity = False
+    for count in rle["counts"]:
+        mask[idx : idx + count] = parity
+        idx += count
+        parity ^= True
+    return mask.reshape(w, h).transpose()
+
+
+def make_yaml_dumpable(D):
+    """Recursively coerce numpy types for YAML dumps (reference Utils.py:996-1020)."""
+    if isinstance(D, np.ndarray):
+        return D.tolist()
+    if isinstance(D, dict):
+        return {k: make_yaml_dumpable(v) for k, v in D.items()}
+    if isinstance(D, (list, tuple)):
+        return [make_yaml_dumpable(v) for v in D]
+    if isinstance(D, (np.integer,)):
+        return int(D)
+    if isinstance(D, (np.floating,)):
+        return float(D)
+    return D
