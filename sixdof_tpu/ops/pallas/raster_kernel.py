@@ -5,14 +5,18 @@ pixel tile, select the nearest covering triangle — is the framework's hottest
 custom op (252 hypotheses x ~10 renders per registration).  The XLA scan
 version (ops/rasterize.py:_rasterize_one) materializes (chunk, pixels)
 intermediates in HBM between scan steps; this kernel keeps the z/tid
-accumulators and all chunk temporaries resident in VMEM:
+accumulators in VMEM *scratch* across the tri-chunk grid dimension and writes
+each (pose, pixel-tile) result exactly once:
 
   grid = (pose, pixel_tile, tri_chunk)   [tri_chunk fastest]
   - per step: one (4C,3)x(3,TILE) matmul (MXU) + VPU inside/min/select
-  - the (1,TILE) z-buffer/tid output block is revisited across consecutive
-    tri_chunk steps, so accumulation never leaves VMEM
+  - accumulators never round-trip HBM; outputs are written at the last chunk
   - triangle validity is folded into the plane coefficients at setup
     (invalid rows evaluate to "never inside"), so the kernel is branch-free.
+
+Mosaic constraints shape the layout: outputs are (n_tiles, B, TILE) so the
+block's trailing dims (B, TILE) are full-array/lane-aligned; the caller
+transposes back to (B, P).
 
 Layout contract: coefficients arrive as (B, K, 4C, 3) with rows GROUPED
 [all l0 | all l1 | all l2 | all inv_z] so in-kernel slices are contiguous.
@@ -29,15 +33,16 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = 3.0e38  # python scalar: jnp constants would be captured tracers
 
 
-def _kernel(coef_ref, z_ref, tid_ref, *, C, TILE, W):
+def _kernel(coef_ref, z_out, tid_out, z_acc, tid_acc, *, C, TILE, W, K):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
-        z_ref[...] = jnp.full((1, TILE), _BIG, dtype=jnp.float32)
-        tid_ref[...] = jnp.full((1, TILE), -1, dtype=jnp.int32)
+        z_acc[...] = jnp.full((1, TILE), _BIG, dtype=jnp.float32)
+        tid_acc[...] = jnp.full((1, TILE), -1, dtype=jnp.int32)
 
-    t = pl.program_id(1)
     pid = t * TILE + jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
     px = (pid % W).astype(jnp.float32)
     py = (pid // W).astype(jnp.float32)
@@ -59,9 +64,15 @@ def _kernel(coef_ref, z_ref, tid_ref, *, C, TILE, W):
     cand = jnp.where(z <= zmin, idx, jnp.int32(2**30))
     tbest = jnp.min(cand, axis=0, keepdims=True)  # (1,TILE)
 
-    closer = (zmin < z_ref[...]) & (zmin < _BIG)
-    z_ref[...] = jnp.where(closer, zmin, z_ref[...])
-    tid_ref[...] = jnp.where(closer, k * C + tbest, tid_ref[...])
+    closer = (zmin < z_acc[...]) & (zmin < _BIG)
+    z_acc[...] = jnp.where(closer, zmin, z_acc[...])
+    tid_acc[...] = jnp.where(closer, k * C + tbest, tid_acc[...])
+
+    @pl.when(k == K - 1)
+    def _():
+        miss = tid_acc[...] < 0
+        z_out[0, pl.ds(b, 1), :] = jnp.where(miss, 0.0, z_acc[...])
+        tid_out[0, pl.ds(b, 1), :] = tid_acc[...]
 
 
 @functools.partial(jax.jit, static_argnames=("H", "W", "tri_chunk", "tile", "interpret"))
@@ -79,25 +90,29 @@ def rasterize_zbuffer_pallas(coef_grouped, H, W, tri_chunk=128, tile=2048, inter
 
     grid = (B, n_tiles, K)
     zbuf, tid = pl.pallas_call(
-        functools.partial(_kernel, C=C, TILE=tile, W=W),
+        functools.partial(_kernel, C=C, TILE=tile, W=W, K=K),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, C4, 3), lambda b, t, k: (b, k, 0, 0),
-                         memory_space=pltpu.ANY if False else pltpu.VMEM),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, tile), lambda b, t, k: (b, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda b, t, k: (b, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, tile), lambda b, t, k: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, tile), lambda b, t, k: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, P_pad), jnp.float32),
-            jax.ShapeDtypeStruct((B, P_pad), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, B, tile), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, B, tile), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, tile), jnp.float32),
+            pltpu.VMEM((1, tile), jnp.int32),
         ],
         interpret=interpret,
     )(coef_grouped)
-    zbuf = zbuf[:, :P]
-    tid = tid[:, :P]
-    zbuf = jnp.where(tid >= 0, zbuf, 0.0)
+    # (n_tiles, B, tile) -> (B, P)
+    zbuf = zbuf.transpose(1, 0, 2).reshape(B, P_pad)[:, :P]
+    tid = tid.transpose(1, 0, 2).reshape(B, P_pad)[:, :P]
     return zbuf, tid
 
 
