@@ -19,15 +19,27 @@ import numpy as np
 _RAY_CHUNK = 512
 
 
-@functools.partial(jax.jit, static_argnames=())
-def ray_mesh_intersect(origins, dirs, ray_mask, tri_verts, tri_mask):
+@functools.partial(jax.jit, static_argnames=("use_pallas",))
+def ray_mesh_intersect(origins, dirs, ray_mask, tri_verts, tri_mask, use_pallas=None):
     """First-hit distances of rays against a triangle soup.
 
     @origins/dirs: (N,3) rays (dirs need not be unit; t is in dir units);
     @ray_mask: (N,) valid-ray mask;
     @tri_verts: (T,3,3) triangle vertices; @tri_mask: (T,).
     Returns t_hit (N,) — +inf for misses/masked rays.
+    On TPU the pair-space sweep runs as a Pallas kernel with the min-t
+    accumulator VMEM-resident (ops/pallas/raytrace_kernel.py).
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+    if use_pallas:
+        from .pallas.raytrace_kernel import pack_rays, pack_tris, ray_mesh_intersect_pallas
+
+        n = origins.shape[0]
+        rays_p = pack_rays(origins, dirs, ray_mask)
+        tris_p = pack_tris(tri_verts, tri_mask)
+        return ray_mesh_intersect_pallas(rays_p, tris_p)[:n]
+
     v0 = tri_verts[:, 0]
     e1 = tri_verts[:, 1] - v0  # (T,3)
     e2 = tri_verts[:, 2] - v0

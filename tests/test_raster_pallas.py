@@ -88,3 +88,35 @@ def test_render_batch_pallas_interpret_full():
     np.testing.assert_allclose(
         np.asarray(out_p["depth"][0])[both], np.asarray(out_x["depth"][0])[both], atol=1e-4
     )
+
+
+def test_raytrace_pallas_matches_xla():
+    from sixdof_tpu.ops import raytrace as rt
+    from sixdof_tpu.ops.pallas.raytrace_kernel import (
+        pack_rays, pack_tris, ray_mesh_intersect_pallas,
+    )
+
+    rng = np.random.RandomState(0)
+    mesh = box_mesh()
+    tri, tri_mask = rt.mesh_to_tri_verts(mesh.vertices, mesh.faces)
+    n = 300
+    dirs = rng.randn(n, 3)
+    dirs[:, 2] = np.abs(dirs[:, 2]) + 0.5
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    origins = np.zeros((n, 3), dtype=np.float32)
+    origins[:, 2] = -0.5
+    mask = np.ones(n, dtype=bool)
+    mask[::7] = False
+
+    ref = np.asarray(rt.ray_mesh_intersect(
+        jnp.asarray(origins), jnp.asarray(dirs, dtype=jnp.float32), jnp.asarray(mask),
+        jnp.asarray(tri), jnp.asarray(tri_mask), use_pallas=False,
+    ))
+    rays_p = pack_rays(jnp.asarray(origins), jnp.asarray(dirs, dtype=jnp.float32),
+                       jnp.asarray(mask), tile=512)
+    tris_p = pack_tris(jnp.asarray(tri), jnp.asarray(tri_mask), tri_chunk=16)
+    got = np.asarray(ray_mesh_intersect_pallas(rays_p, tris_p, tile=512, tri_chunk=16,
+                                               interpret=True))[:n]
+    finite = np.isfinite(ref)
+    assert (np.isfinite(got) == finite).all()
+    np.testing.assert_allclose(got[finite], ref[finite], atol=1e-5)
