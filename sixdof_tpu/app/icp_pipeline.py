@@ -80,8 +80,12 @@ def preprocess_target(pcd: PointCloud, param):
             f":: Point cloud already has less than or exactly {params['max_pcd']} points."
         )
     pc.estimate_normals(target_processed, radius=2, max_nn=5)
-    target_fpfh = _compute_fpfh(target_processed, params.get("fpfh_radius", 20.0),
-                                params.get("fpfh_max_nn", 100))
+    # FPFH only feeds the RANSAC global-registration path (--icp); the
+    # FoundationPose-initialized path never reads it, so compute lazily
+    target_fpfh = None
+    if param.get("compute_fpfh", False):
+        target_fpfh = _compute_fpfh(target_processed, params.get("fpfh_radius", 20.0),
+                                    params.get("fpfh_max_nn", 100))
     return target_processed, target_fpfh
 
 
@@ -136,8 +140,9 @@ def preprocess_source(pcd: PointCloud, background: PointCloud, param, i=0):
     if i == 0:
         pc.estimate_normals(background_d, radius=2, max_nn=5)
         pc.estimate_normals(source_processed, radius=2, max_nn=5)
-        source_fpfh = _compute_fpfh(source_processed, params.get("fpfh_radius", 20.0),
-                                    params.get("fpfh_max_nn", 100))
+        if param.get("compute_fpfh", False):
+            source_fpfh = _compute_fpfh(source_processed, params.get("fpfh_radius", 20.0),
+                                        params.get("fpfh_max_nn", 100))
     return source_processed, source_processed, source_fpfh
 
 
@@ -369,6 +374,8 @@ def determine_pose(source, target, background, initial_fp_transformation, parame
     import time
 
     param = copy.deepcopy(parameters)
+    if icp:
+        param["compute_fpfh"] = True  # the RANSAC path consumes features
     source.paint_uniform_color([1, 0, 0])
     target.paint_uniform_color([0, 0, 1])
     start_time_total = time.perf_counter()
