@@ -84,7 +84,7 @@ def make_refiner_batch(key, mesh: MeshArrays, K, mesh_diameter, cfg: TrainConfig
     # rotation perturbations beyond the normalizer (targets clip to +-1):
     # the net learns saturated-direction corrections for the large initial
     # errors of the 30-deg rotation grid, which iterations then walk down
-    pert, dt, dw = _perturb(k2, gt, cfg.trans_normalizer * 0.9, cfg.rot_normalizer * 1.5)
+    pert, dt, dw = _perturb(k2, gt, cfg.trans_normalizer * 0.9, cfg.rot_normalizer * 1.2)
 
     # render the "real" full frame once per sample is wasteful; instead render
     # B directly in A's crop window (exactly the information the net sees)

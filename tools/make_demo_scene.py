@@ -35,15 +35,20 @@ def make_object_mesh(seed=0):
 
     v, f = icosphere(subdivisions=3)
     rng = np.random.RandomState(seed)
-    # smooth radial bumps from a few random spherical harmonics-ish lobes
+    # pronounced asymmetric bumps: rotation must be visually identifiable
     dirs = rng.randn(6, 3)
     dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
-    amp = 0.12 * np.cos(3 * (v @ dirs.T)).sum(axis=1) / 6
-    radii = np.array([0.045, 0.035, 0.03])
+    amp = 0.22 * np.cos(3 * (v @ dirs.T) + rng.rand(6) * 6.28).sum(axis=1) / 6
+    radii = np.array([0.048, 0.034, 0.027])
     verts = v * (1.0 + amp)[:, None] * radii[None]
-    colors = (np.stack([
-        0.5 + 0.5 * v[:, 0], 0.5 + 0.5 * v[:, 1], 0.6 + 0.4 * np.abs(v[:, 2])
-    ], axis=-1) * 255).clip(0, 255)
+    # high-frequency saturated texture (checker-ish octants + stripes): a
+    # smooth gradient makes rotation nearly unobservable for render-and-compare
+    checker = np.sign(np.sin(9.0 * v[:, 0]) * np.sin(7.0 * v[:, 1]) * np.sin(8.0 * v[:, 2]))
+    stripes = np.sign(np.sin(14.0 * (v[:, 0] + 0.7 * v[:, 1])))
+    r = 0.5 + 0.45 * checker
+    g = 0.5 + 0.45 * stripes
+    b = 0.5 + 0.5 * v[:, 2]
+    colors = (np.stack([r, g, b], axis=-1) * 255).clip(0, 255)
     return TriMesh(verts, f, vertex_colors=colors)
 
 
