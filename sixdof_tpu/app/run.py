@@ -26,6 +26,7 @@ from ..io.mesh_io import load_mesh
 from ..io.readers import DataReader
 from ..models.predict import PoseRefinePredictor, ScorePredictor
 from ..utils import set_logging_format, set_seed
+from ..utils.profiling import StageTimer
 from ..utils.vis import draw_posed_3d_box, draw_xyz_axis
 from .defect_projection import create_heatmap_overlay, ray_tracing, save_overlay
 from .icp_pipeline import improve_result, preprocess_source, refine_pose_with_icp
@@ -111,6 +112,7 @@ def main(args):
     intersection_pcds = []
     detect_defect = False
     frame_times = []
+    timer = StageTimer()
 
     reader.update()
     heatmap, color_original, heatmap_vis, _ = reader.get_heatmap(reader.get_color(i))
@@ -137,16 +139,18 @@ def main(args):
             continue
         if i == 0:
             mask = reader.get_mask(color, i).astype(bool)
-            pose = est.register(K=reader.color_K, rgb=color, depth=depth, ob_mask=mask,
-                                iteration=args.est_refine_iter)
+            with timer.stage("register"):
+                pose = est.register(K=reader.color_K, rgb=color, depth=depth, ob_mask=mask,
+                                    iteration=args.est_refine_iter)
 
             pose_in_mm = reader.scale_translation_to_millimeters(pose)
             initial_transformation = np.dot(reader.color_to_depth, pose_in_mm)
 
-            _, initial_icp_result, _, target_processed = refine_pose_with_icp(
-                source, reader.target, reader.background, initial_transformation,
-                reader.parameters,
-            )
+            with timer.stage("icp_refine"):
+                _, initial_icp_result, _, target_processed = refine_pose_with_icp(
+                    source, reader.target, reader.background, initial_transformation,
+                    reader.parameters,
+                )
             delta_pose = np.linalg.inv(initial_transformation) @ np.linalg.inv(
                 initial_icp_result.transformation
             )
@@ -155,10 +159,11 @@ def main(args):
             target_mesh_copy = transform_object(
                 reader.target_mesh, np.linalg.inv(initial_icp_result.transformation)
             )
-            defect_mesh_intersection_pcd, target_transformed = ray_tracing(
-                reader.base_dir, target_mesh_copy, heatmap, reader.color_pinhole,
-                heatmap_threshold=0.75,
-            )
+            with timer.stage("ray_tracing"):
+                defect_mesh_intersection_pcd, target_transformed = ray_tracing(
+                    reader.base_dir, target_mesh_copy, heatmap, reader.color_pinhole,
+                    heatmap_threshold=0.75,
+                )
             defect_mesh_intersection_pcd.transform(reader.color_to_depth)
             intersection_pcds.append(defect_mesh_intersection_pcd)
 
@@ -167,8 +172,9 @@ def main(args):
             previous_transformation = initial_icp_result.transformation
             update_dash_data(intersection_pcds, target_mesh_copy)
         else:
-            pose = est.track_one(rgb=color, depth=depth, K=reader.color_K,
-                                 iteration=args.track_refine_iter)
+            with timer.stage("track"):
+                pose = est.track_one(rgb=color, depth=depth, K=reader.color_K,
+                                     iteration=args.track_refine_iter)
             pose_in_mm = reader.scale_translation_to_millimeters(pose)
             initial_transformation = np.dot(reader.color_to_depth, pose_in_mm)
 
@@ -241,6 +247,7 @@ def main(args):
         i += 1
 
     reader.stop_camera()
+    timer.log()
     if frame_times:
         fps = 1.0 / np.mean(frame_times[1:]) if len(frame_times) > 1 else 1.0 / frame_times[0]
         logging.info(f"frames: {len(frame_times)}  mean FPS (excl. frame 0): {fps:.2f}")
