@@ -14,9 +14,9 @@ each (pose, pixel-tile) result exactly once:
   - triangle validity is folded into the plane coefficients at setup
     (invalid rows evaluate to "never inside"), so the kernel is branch-free.
 
-Mosaic constraints shape the layout: outputs are (n_tiles, B, TILE) so the
-block's trailing dims (B, TILE) are full-array/lane-aligned; the caller
-transposes back to (B, P).
+Mosaic constraints shape the layout: outputs are (B, n_tiles, TILE) with one
+private (1,1,TILE) block per (pose, pixel-tile) — blocks are write-only, so
+they must never be shared across grid cells that finish at different times.
 
 Layout contract: coefficients arrive as (B, K, 4C, 3) with rows GROUPED
 [all l0 | all l1 | all l2 | all inv_z] so in-kernel slices are contiguous.
@@ -34,7 +34,6 @@ _BIG = 3.0e38  # python scalar: jnp constants would be captured tracers
 
 
 def _kernel(coef_ref, z_out, tid_out, z_acc, tid_acc, *, C, TILE, W, K):
-    b = pl.program_id(0)
     t = pl.program_id(1)
     k = pl.program_id(2)
 
@@ -46,12 +45,12 @@ def _kernel(coef_ref, z_out, tid_out, z_acc, tid_acc, *, C, TILE, W, K):
     pid = t * TILE + jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
     px = (pid % W).astype(jnp.float32)
     py = (pid // W).astype(jnp.float32)
-    pix = jnp.concatenate([px, py, jnp.ones_like(px)], axis=0)  # (3,TILE)
 
     c = coef_ref[0, 0]  # (4C, 3)
-    vals = jax.lax.dot_general(
-        c, pix, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (4C, TILE)
+    # elementwise plane evaluation: exact fp32 on the VPU.  A dot_general here
+    # would multiply in bf16 on the MXU, and thin triangles carry huge
+    # coefficients (1/area), so bf16 edge error reaches O(1) barycentric units.
+    vals = c[:, 0:1] * px + c[:, 1:2] * py + c[:, 2:3]  # (4C, TILE)
     l0 = vals[0:C]
     l1 = vals[C : 2 * C]
     l2 = vals[2 * C : 3 * C]
@@ -71,8 +70,8 @@ def _kernel(coef_ref, z_out, tid_out, z_acc, tid_acc, *, C, TILE, W, K):
     @pl.when(k == K - 1)
     def _():
         miss = tid_acc[...] < 0
-        z_out[0, pl.ds(b, 1), :] = jnp.where(miss, 0.0, z_acc[...])
-        tid_out[0, pl.ds(b, 1), :] = tid_acc[...]
+        z_out[0, 0] = jnp.where(miss, 0.0, z_acc[...])
+        tid_out[0, 0] = tid_acc[...]
 
 
 @functools.partial(jax.jit, static_argnames=("H", "W", "tri_chunk", "tile", "interpret"))
@@ -97,12 +96,18 @@ def rasterize_zbuffer_pallas(coef_grouped, H, W, tri_chunk=128, tile=2048, inter
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, B, tile), lambda b, t, k: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, tile), lambda b, t, k: (t, 0, 0), memory_space=pltpu.VMEM),
+            # one private (pose, pixel-tile) block each — Pallas output blocks
+            # are write-only, so a block shared across poses would be
+            # clobbered by later revisits
+            pl.BlockSpec((1, 1, 1, tile), lambda b, t, k: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, tile), lambda b, t, k: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, B, tile), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, B, tile), jnp.int32),
+            # trailing (1, tile) block dims satisfy Mosaic (dim==array dim)
+            jax.ShapeDtypeStruct((B, n_tiles, 1, tile), jnp.float32),
+            jax.ShapeDtypeStruct((B, n_tiles, 1, tile), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((1, tile), jnp.float32),
@@ -110,9 +115,8 @@ def rasterize_zbuffer_pallas(coef_grouped, H, W, tri_chunk=128, tile=2048, inter
         ],
         interpret=interpret,
     )(coef_grouped)
-    # (n_tiles, B, tile) -> (B, P)
-    zbuf = zbuf.transpose(1, 0, 2).reshape(B, P_pad)[:, :P]
-    tid = tid.transpose(1, 0, 2).reshape(B, P_pad)[:, :P]
+    zbuf = zbuf.reshape(B, P_pad)[:, :P]
+    tid = tid.reshape(B, P_pad)[:, :P]
     return zbuf, tid
 
 

@@ -141,9 +141,13 @@ def _rasterize_one(uv_crop, z_cam, faces, out_hw, tri_chunk, znear):
         zbuf, tid = carry
         c = jax.lax.dynamic_slice(coef_p, (chunk_idx * tri_chunk, 0, 0), (tri_chunk, 4, 3))
         vt = jax.lax.dynamic_slice(valid_p, (chunk_idx * tri_chunk,), (tri_chunk,))
-        # (C,4,P): barycentrics l0,l1,l2 and 1/z for every pixel, one matmul
-        vals = jax.lax.dot_general(
-            c, pix, (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        # (C,4,P) plane evaluation — elementwise (exact fp32): a matmul would
+        # run bf16 on the MXU and thin-triangle coefficients (1/area) blow the
+        # error up to O(1) barycentric units
+        vals = (
+            c[..., 0:1] * pix[0][None, None]
+            + c[..., 1:2] * pix[1][None, None]
+            + c[..., 2:3]
         )
         l0, l1, l2, inv_z = vals[:, 0], vals[:, 1], vals[:, 2], vals[:, 3]
         inside = (l0 >= 0) & (l1 >= 0) & (l2 >= 0) & vt[:, None]
@@ -163,9 +167,9 @@ def _rasterize_one(uv_crop, z_cam, faces, out_hw, tri_chunk, znear):
     (zbuf, tid), _ = jax.lax.scan(chunk_step, init, jnp.arange(n_chunks))
 
     # recompute the winner's barycentrics once per pixel (cheaper than
-    # carrying them through the scan)
+    # carrying them through the scan); elementwise for exact fp32
     cw = coef_p[jnp.maximum(tid, 0)]  # (P,4,3)
-    lw = jnp.einsum("pki,ip->pk", cw[:, :3], pix)  # (P,3)
+    lw = cw[:, :3, 0] * pix[0][:, None] + cw[:, :3, 1] * pix[1][:, None] + cw[:, :3, 2]
     tid = tid.reshape(H, W)
     bary = lw.reshape(H, W, 3)
     zbuf = jnp.where(tid >= 0, zbuf.reshape(H, W), 0.0)
@@ -181,7 +185,7 @@ def _interpolate(vertex_attr, faces, tid, bary, z_cam, zbuf):
     a = vertex_attr[f]  # (H,W,3,D)
     z = z_cam[f]  # (H,W,3)
     w = bary / jnp.maximum(z, 1e-12)  # (H,W,3)
-    num = jnp.einsum("hwk,hwkd->hwd", w, a)
+    num = jnp.sum(w[..., None] * a, axis=-2)  # elementwise: exact fp32
     out = num * zbuf[..., None]
     return jnp.where((tid >= 0)[..., None], out, 0.0)
 
@@ -314,7 +318,8 @@ def render_batch(
             py = jnp.repeat(jnp.arange(H, dtype=jnp.float32), W)
             pix = jnp.stack([px, py, jnp.ones_like(px)], axis=0)
             cw = coef_i[jnp.maximum(tid2.reshape(-1), 0)]
-            lw = jnp.einsum("pki,ip->pk", cw[:, :3], pix)
+            lw = (cw[:, :3, 0] * pix[0][:, None] + cw[:, :3, 1] * pix[1][:, None]
+                  + cw[:, :3, 2])
             bary = lw.reshape(H, W, 3)
             return shade(pose, p_cam_i, z_i, tid2, bary, zb)
 

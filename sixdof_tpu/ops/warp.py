@@ -61,8 +61,9 @@ def warp_crop_batch(img, tfs, out_hw, mode="bilinear"):
 
     Ry = interp_matrix(sy, ty, Ho, H)  # (B,Ho,H)
     Cx = interp_matrix(sx, tx, Wo, W)  # (B,Wo,W)
-    tmp = jnp.einsum("bhH,HWc->bhWc", Ry, img, preferred_element_type=jnp.float32)
-    out = jnp.einsum("bhWc,bwW->bhwc", tmp, Cx, preferred_element_type=jnp.float32)
+    hi = jax.lax.Precision.HIGHEST  # xyz maps are metric: bf16 passes cost mm
+    tmp = jnp.einsum("bhH,HWc->bhWc", Ry, img, precision=hi)
+    out = jnp.einsum("bhWc,bwW->bhwc", tmp, Cx, precision=hi)
     if squeeze:
         out = out[..., 0]
     return out
