@@ -70,16 +70,50 @@ def _perturb(key, poses, trans_amp, rot_amp):
     return egocentric_delta_pose_to_pose(poses, dt, dR), dt, dw
 
 
+def _crop_background(key, tf_to_crops, K, z_obj, out_hw):
+    """Synthetic 'scene' behind the object for the B (real-image) crop.
+
+    At inference the real crop contains the table/background with VALID rgb
+    and xyz; pairs trained on empty backgrounds do not transfer.  Builds a
+    plane at a random depth behind the object (correct per-pixel backprojected
+    xyz) with a random low-frequency color texture.
+    Returns (rgb_bg (B,H,W,3), xyz_bg (B,H,W,3)).
+    """
+    H, W = out_hw
+    Bn = tf_to_crops.shape[0]
+    k1, k2, k3 = jax.random.split(key, 3)
+    zbg = z_obj + jax.random.uniform(k1, (Bn,), minval=0.03, maxval=0.25)  # (B,)
+
+    # crop pixel -> full-image pixel -> camera ray -> xyz at plane depth
+    xs = jnp.arange(W, dtype=jnp.float32)
+    ys = jnp.arange(H, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xs, ys)
+    grid = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1)  # (H,W,3)
+    inv = jnp.linalg.inv(tf_to_crops)  # (B,3,3)
+    full = jnp.einsum("bij,hwj->bhwi", inv, grid)
+    u = full[..., 0] / full[..., 2]
+    v = full[..., 1] / full[..., 2]
+    dirx = (u - K[0, 2]) / K[0, 0]
+    diry = (v - K[1, 2]) / K[1, 1]
+    z = zbg[:, None, None]
+    xyz_bg = jnp.stack([dirx * z, diry * z, jnp.broadcast_to(z, dirx.shape)], axis=-1)
+
+    base = jax.random.uniform(k2, (Bn, 1, 1, 3), minval=0.05, maxval=0.9)
+    coarse = jax.random.uniform(k3, (Bn, 8, 8, 3), minval=-0.25, maxval=0.25)
+    tex = jax.image.resize(coarse, (Bn, H, W, 3), method="linear")
+    rgb_bg = jnp.clip(base + tex, 0.0, 1.0)
+    return rgb_bg, xyz_bg
+
+
 def make_refiner_batch(key, mesh: MeshArrays, K, mesh_diameter, cfg: TrainConfig):
     """Device-side synthetic (A,B,targets) batch for the refiner.
 
-    B = render at the TRUE pose (standing in for the real image);
-    A = render at the PERTURBED pose; the net must predict the egocentric
-    delta that maps A's pose onto B's.
+    B = render at the TRUE pose composited over a synthetic background +
+    sensor depth noise (standing in for the real image); A = render at the
+    PERTURBED pose; the net must predict the egocentric delta that maps A's
+    pose onto B's.
     """
-    from ..models.predict import _make_AB
-
-    k1, k2 = jax.random.split(key)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
     gt = _random_poses(k1, cfg.batch_size, cfg.z_range)
     # rotation perturbations beyond the normalizer (targets clip to +-1):
     # the net learns saturated-direction corrections for the large initial
@@ -97,8 +131,17 @@ def make_refiner_batch(key, mesh: MeshArrays, K, mesh_diameter, cfg: TrainConfig
     rendA = render_batch(mesh, pert, K, tf_to_crops, out_hw=cfg.input_hw, use_light=True)
     rendB = render_batch(mesh, gt, K, tf_to_crops, out_hw=cfg.input_hw, use_light=True)
     center = pert[:, :3, 3][:, None, None, :]
+
+    rgb_bg, xyz_bg = _crop_background(k3, tf_to_crops, K, float(0.0) + gt[:, 2, 3].mean(),
+                                      cfg.input_hw)
+    aB = rendB["alpha"][..., None]
+    noise = jax.random.normal(k4, rendB["xyz_map"].shape[:-1] + (1,)) * 0.0015
+    xyzB = rendB["xyz_map"] + noise * jnp.asarray([0.0, 0.0, 1.0])
+    rgbB = jnp.where(aB > 0, rendB["color"], rgb_bg)
+    xyzB = jnp.where(aB > 0, xyzB, xyz_bg)
+
     A = jnp.concatenate([rendA["color"], rendA["xyz_map"] - center], axis=-1)
-    B = jnp.concatenate([rendB["color"], rendB["xyz_map"] - center], axis=-1)
+    B = jnp.concatenate([rgbB, xyzB - center], axis=-1)
     # targets: egocentric deltas mapping pert -> gt.  The predictor decodes
     # R_corr = exp(tanh(rot)*norm)^T = exp(-tanh(rot)*norm), and the needed
     # correction is R_gt R_pert^T = exp(dw)^T = exp(-dw) -> the pre-transpose
@@ -148,8 +191,15 @@ def make_scorer_batch(key, mesh: MeshArrays, K, mesh_diameter, cfg: TrainConfig,
     rendA = render_batch(mesh, hyp, K, tf_to_crops, out_hw=cfg.input_hw, use_light=True)
     rendB = render_batch(mesh, gt, K, tf_to_crops, out_hw=cfg.input_hw, use_light=True)
     center = hyp[:, :3, 3][:, None, None, :]
+    kbg, knz = jax.random.split(k3)
+    rgb_bg, xyz_bg = _crop_background(kbg, tf_to_crops, K, gt[:, 2, 3].mean(), cfg.input_hw)
+    aB = rendB["alpha"][..., None]
+    noise = jax.random.normal(knz, rendB["xyz_map"].shape[:-1] + (1,)) * 0.0015
+    xyzB = rendB["xyz_map"] + noise * jnp.asarray([0.0, 0.0, 1.0])
+    rgbB = jnp.where(aB > 0, rendB["color"], rgb_bg)
+    xyzB = jnp.where(aB > 0, xyzB, xyz_bg)
     A = jnp.concatenate([rendA["color"], rendA["xyz_map"] - center], axis=-1)
-    B = jnp.concatenate([rendB["color"], rendB["xyz_map"] - center], axis=-1)
+    B = jnp.concatenate([rgbB, xyzB - center], axis=-1)
     # ADD proxy: mean vertex displacement between hypothesis and gt
     vh = jnp.einsum("lij,vj->lvi", hyp[:, :3, :3], mesh.pos) + hyp[:, None, :3, 3]
     vg = jnp.einsum("lij,vj->lvi", gt[:, :3, :3], mesh.pos) + gt[:, None, :3, 3]
