@@ -30,9 +30,14 @@ from .ops.rasterize import make_mesh_arrays
 class FoundationPose:
     def __init__(self, model_pts, model_normals, symmetry_tfs=None, mesh: TriMesh = None,
                  scorer: ScorePredictor = None, refiner: PoseRefinePredictor = None,
-                 glctx=None, debug=0, debug_dir="debug/fp"):
+                 glctx=None, debug=0, debug_dir="debug/fp", prune_to=None):
+        """@prune_to: optional coarse-to-fine registration — after 2 refine
+        iterations over the full rotation grid, keep only the prune_to
+        best-scoring hypotheses for the remaining iterations (roughly halves
+        registration FLOPs; not in the reference)."""
         self.gt_pose = None
         self.ignore_normal_flip = True
+        self.prune_to = prune_to
         self.debug = debug
         self.debug_dir = debug_dir
         os.makedirs(debug_dir, exist_ok=True)
@@ -145,6 +150,20 @@ class FoundationPose:
         logging.info(f"poses:{poses.shape}")
 
         xyz_map = depth2xyzmap(depth, jnp.asarray(K, dtype=jnp.float32))
+        if self.prune_to and self.prune_to < len(poses) and iteration > 2:
+            # coarse-to-fine: 2 iterations on the full grid, score, keep top-K
+            coarse, _ = self.refiner.predict(
+                mesh=self.mesh, mesh_tensors=self.mesh_tensors, rgb=rgb, depth=depth,
+                K=K, ob_in_cams=poses, xyz_map=xyz_map, glctx=None,
+                mesh_diameter=self.diameter, iteration=2, get_vis=False,
+            )
+            coarse_scores, _ = self.scorer.predict(
+                mesh=self.mesh, rgb=rgb, depth=depth, K=K, ob_in_cams=coarse,
+                mesh_tensors=self.mesh_tensors, glctx=None, mesh_diameter=self.diameter,
+            )
+            keep = np.argsort(-np.asarray(coarse_scores))[: self.prune_to]
+            poses = np.asarray(coarse)[keep]
+            iteration = iteration - 2
         poses, vis = self.refiner.predict(
             mesh=self.mesh, mesh_tensors=self.mesh_tensors, rgb=rgb, depth=depth,
             K=K, ob_in_cams=poses, xyz_map=xyz_map, glctx=None,
