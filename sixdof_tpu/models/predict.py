@@ -183,7 +183,9 @@ def _depth_alignment_score(A, B, rend, poses, mesh_diameter):
     col = -jnp.sum(
         jnp.where(both[..., None], jnp.abs(A[..., :3] - B[..., :3]), 0.0), axis=(1, 2, 3)
     ) / (3 * n_both)
-    return geom / (0.05 * mesh_diameter) + overlap + 0.5 * col
+    # color weight 2.0: for near-symmetric shapes the texture term is the
+    # only signal that separates a ~180-deg flip from the true orientation
+    return geom / (0.05 * mesh_diameter) + overlap + 2.0 * col
 
 
 @functools.partial(jax.jit, static_argnames=("model", "out_hw", "normalize_xyz", "mode"))

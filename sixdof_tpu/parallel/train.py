@@ -176,12 +176,16 @@ def make_scorer_batch(key, mesh: MeshArrays, K, mesh_diameter, cfg: TrainConfig,
     k1, k2, k3 = jax.random.split(key, 3)
     gt = _random_poses(k1, n_scenes, cfg.z_range)  # (ns,4,4)
     gt = jnp.repeat(gt, L, axis=0)  # (ns*L,4,4)
-    # graded perturbations: hypothesis 0 of each scene near-perfect
+    # graded perturbations: hypothesis 0 of each scene near-perfect; the top
+    # HALF of each scene's ladder gets unrestricted rotations so the scorer
+    # learns to reject flipped-but-shape-aligned hypotheses (near-symmetric
+    # objects confuse pure depth alignment)
     scale = jnp.tile(jnp.linspace(0.0, 1.0, L), n_scenes)  # (ns*L,)
     dt = jax.random.uniform(k2, (N, 3), minval=-1, maxval=1) * (
         scale[:, None] * mesh_diameter * 0.3
     )
-    dw = jax.random.uniform(k3, (N, 3), minval=-1, maxval=1) * (scale[:, None] * 0.6)
+    rot_amp = jnp.where(scale > 0.5, jnp.pi, 0.6 * scale)
+    dw = jax.random.uniform(k3, (N, 3), minval=-1, maxval=1) * rot_amp[:, None]
     hyp = egocentric_delta_pose_to_pose(gt, dt, so3_exp_map(dw))
 
     tf_to_crops = compute_crop_window_tf_batch(
