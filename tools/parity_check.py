@@ -78,6 +78,18 @@ def main(scene_dir, n_frames=None):
     _, icp_result, z_adj, _ = refine_pose_with_icp(
         source, reader.target, reader.background, init_tf.copy(), reader.parameters
     )
+    # final-pipeline pose accuracy: the ICP pose is what defect projection uses
+    icp_metrics = {}
+    gt0 = reader.get_gt_pose(0)
+    if gt0 is not None:
+        gt_mm = reader.color_to_depth @ reader.scale_translation_to_millimeters(gt0)
+        icp_pose = np.linalg.inv(icp_result.transformation)  # object->scene (mm)
+        icp_metrics["icp_rot_err_deg"] = rotation_angle_deg(icp_pose[:3, :3], gt_mm[:3, :3])
+        icp_metrics["icp_t_err_mm"] = float(np.linalg.norm(icp_pose[:3, 3] - gt_mm[:3, 3]))
+        model_mm = model_pts * 1000.0
+        icp_metrics["icp_adds_mm"] = adds_err(
+            icp_pose, gt_mm, (model_mm - est.model_center * 1000.0)
+        )
 
     # defect projection lands on the mesh surface
     heatmap, _, _, _ = reader.get_heatmap(reader.get_color(0))
@@ -100,6 +112,7 @@ def main(scene_dir, n_frames=None):
         "adds_auc_0.1d": compute_auc(adds, max_val=0.1 * diam) if adds else -1,
         "rot_err_deg_mean": float(np.mean(rot_errs)) if rot_errs else -1,
         "t_err_m_mean": float(np.mean(t_errs)) if t_errs else -1,
+        **icp_metrics,
         "icp_fitness": icp_result.fitness,
         "icp_rmse_mm": icp_result.inlier_rmse,
         "defect_pts": len(pcd),
