@@ -51,7 +51,9 @@ def main():
         mesh = None
         voxel_size = None
 
-    reader = DataReader(base_dir=SCENE, shorter_side=None, zfar=np.inf, arguments=Args())
+    # shorter_side=288 is the reference's own documented demo setting
+    # (reference run.py:264); it also bounds per-frame host->device traffic
+    reader = DataReader(base_dir=SCENE, shorter_side=288, zfar=np.inf, arguments=Args())
     mesh = load_mesh(f"{SCENE}/mesh/model_scaled_down.obj")
 
     from sixdof_tpu.models.predict import PoseRefinePredictor, ScorePredictor

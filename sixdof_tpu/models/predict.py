@@ -233,6 +233,9 @@ def track_pose_jit(
     from ..ops.geometry import depth2xyzmap
 
     rgb01 = rgb_u8.astype(jnp.float32) / 255.0
+    # depth may arrive as uint16 millimeters (4x smaller host->device upload)
+    if depth_raw.dtype == jnp.uint16:
+        depth_raw = depth_raw.astype(jnp.float32) / 1000.0
     depth = erode_depth(depth_raw, radius=2)
     depth = bilateral_filter_depth(depth, radius=2)
     xyz_map = depth2xyzmap(depth, K)
@@ -258,7 +261,9 @@ class _PredictorBase:
             ckptr = ocp.StandardCheckpointer()
             abstract = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), *example_inputs))
             restored = ckptr.restore(os.path.abspath(ckpt_dir), abstract)
-            return restored["params"]
+            # device-resident: numpy leaves would re-upload the full model on
+            # EVERY jitted call (60MB/frame through a remote-TPU tunnel)
+            return jax.tree.map(jnp.asarray, restored["params"])
         logging.info("No checkpoint found — initializing params from seed")
         return model.init(jax.random.PRNGKey(seed), *example_inputs)["params"]
 

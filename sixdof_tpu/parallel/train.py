@@ -105,6 +105,19 @@ def _crop_background(key, tf_to_crops, K, z_obj, out_hw):
     return rgb_bg, xyz_bg
 
 
+def _erode_edges(alpha, xyz, fill, r=2):
+    """Simulate erode_depth's boundary invalidation: pixels within r of the
+    object silhouette lose their depth at inference (ops/depth_filter.py), so
+    the training xyz maps should show the same invalid ring."""
+    import jax.lax as lax
+
+    a = alpha[..., 0]
+    amax = lax.reduce_window(a, -jnp.inf, lax.max, (1, 2 * r + 1, 2 * r + 1), (1, 1, 1), "SAME")
+    amin = lax.reduce_window(a, jnp.inf, lax.min, (1, 2 * r + 1, 2 * r + 1), (1, 1, 1), "SAME")
+    edge = (amax > 0.5) & (amin < 0.5)
+    return jnp.where(edge[..., None], fill, xyz)
+
+
 def make_refiner_batch(key, mesh: MeshArrays, K, mesh_diameter, cfg: TrainConfig):
     """Device-side synthetic (A,B,targets) batch for the refiner.
 
@@ -139,6 +152,7 @@ def make_refiner_batch(key, mesh: MeshArrays, K, mesh_diameter, cfg: TrainConfig
     xyzB = rendB["xyz_map"] + noise * jnp.asarray([0.0, 0.0, 1.0])
     rgbB = jnp.where(aB > 0, rendB["color"], rgb_bg)
     xyzB = jnp.where(aB > 0, xyzB, xyz_bg)
+    xyzB = _erode_edges(aB, xyzB, jnp.zeros_like(xyzB))
 
     A = jnp.concatenate([rendA["color"], rendA["xyz_map"] - center], axis=-1)
     B = jnp.concatenate([rgbB, xyzB - center], axis=-1)
@@ -202,6 +216,7 @@ def make_scorer_batch(key, mesh: MeshArrays, K, mesh_diameter, cfg: TrainConfig,
     xyzB = rendB["xyz_map"] + noise * jnp.asarray([0.0, 0.0, 1.0])
     rgbB = jnp.where(aB > 0, rendB["color"], rgb_bg)
     xyzB = jnp.where(aB > 0, xyzB, xyz_bg)
+    xyzB = _erode_edges(aB, xyzB, jnp.zeros_like(xyzB))
     A = jnp.concatenate([rendA["color"], rendA["xyz_map"] - center], axis=-1)
     B = jnp.concatenate([rgbB, xyzB - center], axis=-1)
     # ADD proxy: mean vertex displacement between hypothesis and gt
