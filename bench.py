@@ -18,6 +18,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: repeat bench runs skip the ~5 min
+    first-compile cost of the full pipeline."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
+
 SCENE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "demo_data", "synth_box")
 BASELINE_FPS = 10.0
 CAPTURE_EVERY = 10
