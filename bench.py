@@ -125,29 +125,35 @@ def main():
     src_proc, _, _ = preprocess_source(source, reader.background, reader.parameters, i=1)
     improve_result(src_proc, target_processed, init_tf.copy(), reader.parameters)
 
-    # ---- steady-state loop: track every frame, capture every Nth ----
+    # ---- steady-state loop (reference semantics): track + dead reckoning;
+    # ICP+defect capture is a user-triggered event (reference run.py:142-145),
+    # measured separately below and reported as capture_event_s ----
     n = len(reader)
     t_loop = time.perf_counter()
     for i in range(N_TRACK):
         fi = 1 + (i % (n - 1))
         c = reader.get_color(fi)
         d = reader.get_depth(fi)
-        est.track_one(rgb=c, depth=d, K=reader.color_K, iteration=2)
-        if (i + 1) % CAPTURE_EVERY == 0:
-            s = reader.get_source(fi)
-            sp, _, _ = preprocess_source(s, reader.background, reader.parameters, i=fi)
-            res = improve_result(sp, target_processed, init_tf.copy(), reader.parameters)
-            tm = reader.target_mesh.copy()
-            tm.transform(np.linalg.inv(res.transformation))
-            ray_tracing(reader.base_dir, tm, heatmap, reader.color_pinhole, 0.75)
+        pose = est.track_one(rgb=c, depth=d, K=reader.color_K, iteration=2)
+        pose_mm = reader.scale_translation_to_millimeters(pose)
+        _ = np.linalg.inv(reader.color_to_depth @ pose_mm)  # dead-reckon update
     loop_s = time.perf_counter() - t_loop
     fps = N_TRACK / loop_s
+    timings["track_fps"] = fps
 
-    timings["track_fps"] = None  # filled below
+    # capture event: preprocess + batched-restart ICP + defect ray trace
     t0 = time.perf_counter()
-    for i in range(5):
-        est.track_one(rgb=color, depth=depth, K=reader.color_K, iteration=2)
-    timings["track_fps"] = 5 / (time.perf_counter() - t0)
+    n_cap = 3
+    for i in range(n_cap):
+        fi = 1 + (i % (n - 1))
+        s = reader.get_source(fi)
+        sp, _, _ = preprocess_source(s, reader.background, reader.parameters, i=fi)
+        res = improve_result(sp, target_processed, init_tf.copy(), reader.parameters)
+        tm = reader.target_mesh.copy()
+        tm.transform(np.linalg.inv(res.transformation))
+        ray_tracing(reader.base_dir, tm, heatmap, reader.color_pinhole, 0.75)
+    capture_s = (time.perf_counter() - t0) / n_cap
+    fps_with_captures = N_TRACK / (loop_s + (N_TRACK / CAPTURE_EVERY) * capture_s)
 
     import jax
 
@@ -161,6 +167,8 @@ def main():
         "icp_full_s": round(timings["icp_full_s"], 3),
         "raytrace_s": round(timings["raytrace_s"], 3),
         "track_only_fps": round(timings["track_fps"], 2),
+        "capture_event_s": round(capture_s, 3),
+        "fps_with_capture_every_10": round(fps_with_captures, 3),
         "n_hypotheses": int(len(est.rot_grid)),
         "adds_m": round(float(add_s), 5),
         "add_m": round(float(add_v), 5),
