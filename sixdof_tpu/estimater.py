@@ -211,20 +211,21 @@ class FoundationPose:
         if self.pose_last is None:
             logging.info("Please init pose by register first")
             raise RuntimeError
-        from .models.predict import track_pose_jit
+        from .models.predict import pack_rgbd, track_pose_jit
 
         ref = self.refiner
-        rgb_np = np.asarray(rgb)
+        rgb_np = np.ascontiguousarray(np.asarray(rgb))
         if rgb_np.dtype != np.uint8:
             rgb_np = (rgb_np * 255).clip(0, 255).astype(np.uint8) if rgb_np.max() <= 1.5 \
                 else rgb_np.astype(np.uint8)
         depth_np = np.asarray(depth)
-        if depth_np.dtype != np.uint16:  # upload mm-uint16 (4x less traffic)
+        if depth_np.dtype != np.uint16:  # mm-uint16: 4x less traffic
             depth_np = np.clip(depth_np * 1000.0, 0, 65535).astype(np.uint16)
+        rgbd = pack_rgbd(rgb_np, np.ascontiguousarray(depth_np))
         pose, _depth_filtered = track_pose_jit(
             ref.model, ref.params, self.mesh_tensors,
             jnp.asarray(np.asarray(self.pose_last).reshape(1, 4, 4), dtype=jnp.float32),
-            jnp.asarray(rgb_np), jnp.asarray(depth_np),
+            jnp.asarray(rgbd),
             jnp.asarray(K, dtype=jnp.float32), float(self.diameter),
             float(ref.cfg["crop_ratio"]), float(ref.cfg["trans_normalizer"]),
             float(ref.cfg["rot_normalizer"]), iterations=int(iteration),

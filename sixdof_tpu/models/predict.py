@@ -212,30 +212,41 @@ def score_poses_jit(
     return score
 
 
+def pack_rgbd(rgb_u8, depth_u16):
+    """(H,W,3) uint8 + (H,W) uint16-mm -> one (H,W,5) uint8 buffer.
+
+    One packed upload = one host->device round trip per frame; over a
+    remote-TPU tunnel each transfer costs ~45ms latency regardless of size.
+    """
+    import numpy as np
+
+    return np.concatenate(
+        [rgb_u8, depth_u16.view(np.uint8).reshape(*depth_u16.shape, 2)], axis=-1
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("model", "iterations", "out_hw", "normalize_xyz", "trans_rep", "rot_rep"),
 )
 def track_pose_jit(
-    model, params, mesh: MeshArrays, pose_last, rgb_u8, depth_raw, K, mesh_diameter,
+    model, params, mesh: MeshArrays, pose_last, rgbd_u8, K, mesh_diameter,
     crop_ratio, trans_normalizer, rot_normalizer, iterations: int, out_hw=(160, 160),
     normalize_xyz=False, trans_rep="tracknet", rot_rep="axis_angle",
 ):
     """Fused tracking step: depth erode+bilateral -> xyz map -> refine scan.
 
     One device dispatch per frame (the reference issues several GPU kernels +
-    host syncs per frame, estimater.py:254-266); @rgb_u8 arrives as uint8 and
-    converts on device (4x less host->device traffic).  Returns (pose (1,4,4),
-    depth_filtered) so the host can reuse the cleaned depth without a second
-    pass.
+    host syncs per frame, estimater.py:254-266); @rgbd_u8 is the (H,W,5)
+    packed frame from pack_rgbd — a single upload, unpacked on device.
+    Returns (pose (1,4,4), depth_filtered).
     """
     from ..ops.depth_filter import bilateral_filter_depth, erode_depth
     from ..ops.geometry import depth2xyzmap
 
-    rgb01 = rgb_u8.astype(jnp.float32) / 255.0
-    # depth may arrive as uint16 millimeters (4x smaller host->device upload)
-    if depth_raw.dtype == jnp.uint16:
-        depth_raw = depth_raw.astype(jnp.float32) / 1000.0
+    rgb01 = rgbd_u8[..., :3].astype(jnp.float32) / 255.0
+    depth_mm = jax.lax.bitcast_convert_type(rgbd_u8[..., 3:5], jnp.uint16)
+    depth_raw = depth_mm.reshape(rgbd_u8.shape[:2]).astype(jnp.float32) / 1000.0
     depth = erode_depth(depth_raw, radius=2)
     depth = bilateral_filter_depth(depth, radius=2)
     xyz_map = depth2xyzmap(depth, K)
