@@ -110,3 +110,20 @@ def test_object_field_fits_sphere():
     mesh = runner.mesh_to_real_world(mesh)
     r = np.linalg.norm(mesh.vertices, axis=-1)
     assert abs(np.median(r) - radius) < 0.02, f"median radius {np.median(r)} vs {radius}"
+
+
+def test_occupancy_grid_query_and_spans():
+    rng = np.random.RandomState(0)
+    # occupied shell: points on a sphere of radius 0.5
+    d = rng.randn(2000, 3)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    pts = d * 0.5
+    grid = of.OccupancyGrid(pts, resolution=32, dilate=1)
+    assert bool(grid.query(jnp.asarray([[0.5, 0.0, 0.0]]))[0])
+    assert not bool(grid.query(jnp.asarray([[0.95, 0.95, 0.95]]))[0])
+    # ray through the middle: span brackets the sphere
+    o = jnp.asarray([[0.0, 0.0, -1.0]])
+    dd = jnp.asarray([[0.0, 0.0, 1.0]])
+    near, far = grid.ray_near_far(o, dd)
+    assert 0.3 < float(near[0]) < 0.6
+    assert 1.4 < float(far[0]) < 1.7

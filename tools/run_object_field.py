@@ -80,3 +80,18 @@ if __name__ == "__main__":
     out = sys.argv[2] if len(sys.argv) > 2 else None
     steps = int(sys.argv[3]) if len(sys.argv) > 3 else 1000
     main(scene, out, steps)
+
+
+def run_batch(root_dir, pattern="*", steps=1000):
+    """Directory-walking batch driver (reference run_nerf.py:77-102 ran YCBV /
+    LINEMOD object lists); fits a field per scene folder under root_dir."""
+    import glob as _glob
+
+    scenes = sorted(d for d in _glob.glob(os.path.join(root_dir, pattern)) if os.path.isdir(d))
+    outputs = []
+    for scene in scenes:
+        try:
+            outputs.append(main(scene, steps=steps))
+        except Exception as e:  # keep the campaign going like the reference drivers
+            print(f"scene {scene} failed: {e}")
+    return outputs
