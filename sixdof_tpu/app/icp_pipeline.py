@@ -125,10 +125,17 @@ def preprocess_source(pcd: PointCloud, background: PointCloud, param, i=0):
     else:
         source_processed = pc.remove_plane(pcd_down, inliers)
     if param.get("mesh"):
-        logging.warning(
-            ":: mesh-smoothing path (ball pivoting) not implemented in the TPU "
-            "rebuild; proceeding with the raw cloud"
+        # surface smoothing + uniform resample (the reference's ball-pivot
+        # mesh detour, src/pose_estimation.py:433-464 — see
+        # ops/pointcloud.py::smooth_resample for the equivalence argument)
+        ms = params.get("mesh", {})
+        source_processed = pc.smooth_resample(
+            source_processed,
+            radius=ms.get("radius", 5.0),
+            n_iterations=ms.get("number_of_iterations", 10),
+            n_points=ms.get("number_of_points", 3000),
         )
+        pc.estimate_normals(source_processed, radius=2, max_nn=5)
     largest = pc.filter_largest_cluster(source_processed)
     if largest is not None:
         source_processed = largest

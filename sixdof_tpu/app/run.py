@@ -255,26 +255,31 @@ def main(args):
 
 
 def build_parser():
+    """CLI mirroring the reference run.py:239-258; defaults come from the
+    typed config tree (sixdof_tpu.config.PipelineConfig)."""
+    from ..config import PipelineConfig
+
+    pc = PipelineConfig()
     parser = argparse.ArgumentParser()
     code_dir = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     parser.add_argument("--mesh_file", type=str,
-                        default=f"{code_dir}/demo_data/synth_box/mesh/model_scaled_down.obj")
-    parser.add_argument("--test_scene_dir", type=str, default=f"{code_dir}/demo_data/synth_box")
-    parser.add_argument("--est_refine_iter", type=int, default=5)
-    parser.add_argument("--track_refine_iter", type=int, default=2)
-    parser.add_argument("--debug", type=int, default=1)
+                        default=f"{code_dir}/{pc.test_scene_dir}/mesh/model_scaled_down.obj")
+    parser.add_argument("--test_scene_dir", type=str, default=f"{code_dir}/{pc.test_scene_dir}")
+    parser.add_argument("--est_refine_iter", type=int, default=pc.est_refine_iter)
+    parser.add_argument("--track_refine_iter", type=int, default=pc.track_refine_iter)
+    parser.add_argument("--debug", type=int, default=pc.debug)
     parser.add_argument("--debug_dir", type=str, default=f"{code_dir}/debug")
-    parser.add_argument("--shorter_side", type=int, default=None)
-    parser.add_argument("--demo", action="store_true", default=True)
+    parser.add_argument("--shorter_side", type=int, default=pc.shorter_side)
+    parser.add_argument("--demo", action="store_true", default=pc.demo)
     parser.add_argument("--no-demo", dest="demo", action="store_false")
-    parser.add_argument("--icp", default=False, type=bool)
+    parser.add_argument("--icp", default=pc.icp, type=bool)
     parser.add_argument("--info", default=True, type=bool)
     parser.add_argument("--box", type=bool, default=None)
     parser.add_argument("--mesh", type=bool, default=None)
-    parser.add_argument("--capture_background", type=bool, default=False)
+    parser.add_argument("--capture_background", type=bool, default=pc.capture_background)
     parser.add_argument("--voxel_size", type=float, default=None)
-    parser.add_argument("--refiner_ckpt", type=str, default=None)
-    parser.add_argument("--scorer_ckpt", type=str, default=None)
+    parser.add_argument("--refiner_ckpt", type=str, default=pc.refiner_ckpt)
+    parser.add_argument("--scorer_ckpt", type=str, default=pc.scorer_ckpt)
     parser.add_argument("--max_frames", type=int, default=None)
     parser.add_argument("--capture_every", type=int, default=None,
                         help="auto-trigger defect capture every N frames (headless demo)")

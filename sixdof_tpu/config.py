@@ -23,11 +23,22 @@ class PlaneRemovalConfig:
 
 
 @dataclass
+class MeshSmoothingConfig:
+    """preprocess_source.mesh branch: ball-pivot surface resampling
+    (reference src/pose_estimation.py:433-464)."""
+
+    radius: float = 5.0
+    number_of_iterations: int = 10
+    number_of_points: int = 3000
+
+
+@dataclass
 class PreprocessSourceConfig:
     down_sample: float = 2.0
     plane_removal: PlaneRemovalConfig = field(default_factory=PlaneRemovalConfig)
     fpfh_radius: float = 20.0
     fpfh_max_nn: int = 100
+    mesh: MeshSmoothingConfig = field(default_factory=MeshSmoothingConfig)
 
 
 @dataclass
@@ -86,6 +97,7 @@ class IcpConfig:
         )
         ps = d.get("preprocess_source", {})
         pr = ps.get("plane_removal", {})
+        ms = ps.get("mesh", {})
         cfg.preprocess_source = PreprocessSourceConfig(
             down_sample=ps.get("down_sample", 2.0),
             plane_removal=PlaneRemovalConfig(
@@ -94,6 +106,11 @@ class IcpConfig:
             ),
             fpfh_radius=ps.get("fpfh_radius", 20.0),
             fpfh_max_nn=ps.get("fpfh_max_nn", 100),
+            mesh=MeshSmoothingConfig(
+                radius=ms.get("radius", 5.0),
+                number_of_iterations=ms.get("number_of_iterations", 10),
+                number_of_points=ms.get("number_of_points", 3000),
+            ),
         )
         gr = d.get("execute_global_registration", {})
         checkers = gr.get("correspondence_checkers", [{"value": 0.9}])

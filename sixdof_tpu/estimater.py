@@ -30,14 +30,19 @@ from .ops.rasterize import make_mesh_arrays
 class FoundationPose:
     def __init__(self, model_pts, model_normals, symmetry_tfs=None, mesh: TriMesh = None,
                  scorer: ScorePredictor = None, refiner: PoseRefinePredictor = None,
-                 glctx=None, debug=0, debug_dir="debug/fp", prune_to=None):
+                 glctx=None, debug=0, debug_dir="debug/fp", prune_to=None,
+                 device_mesh=None):
         """@prune_to: optional coarse-to-fine registration — after 2 refine
         iterations over the full rotation grid, keep only the prune_to
         best-scoring hypotheses for the remaining iterations (roughly halves
-        registration FLOPs; not in the reference)."""
+        registration FLOPs; not in the reference).
+        @device_mesh: optional jax.sharding.Mesh — register() shards the
+        hypothesis axis over its `data` axis (SURVEY.md §2.3); refinement,
+        scoring and rendering then run collective-free across chips."""
         self.gt_pose = None
         self.ignore_normal_flip = True
         self.prune_to = prune_to
+        self.device_mesh = device_mesh
         self.debug = debug
         self.debug_dir = debug_dir
         os.makedirs(debug_dir, exist_ok=True)
@@ -47,6 +52,10 @@ class FoundationPose:
 
         self.scorer = scorer if scorer is not None else ScorePredictor()
         self.refiner = refiner if refiner is not None else PoseRefinePredictor()
+        # watertight meshes render identically with backface culling, at half
+        # the raster work (ops/rasterize.py; io/mesh_io.py::is_watertight)
+        self.refiner.cfg["backface_cull"] = self.backface_cull
+        self.scorer.cfg["backface_cull"] = self.backface_cull
         self.pose_last = None  # per the centered mesh
 
     # ------------------------------------------------------------- setup --
@@ -76,6 +85,8 @@ class FoundationPose:
         self.normals = jnp.asarray(nrm, dtype=jnp.float32)
         self.mesh = mesh
         self.mesh_tensors = make_mesh_arrays(mesh)
+        self.backface_cull = bool(mesh.is_watertight())
+        logging.info(f"backface_cull={self.backface_cull}")
 
         if symmetry_tfs is None:
             self.symmetry_tfs = np.eye(4)[None]
@@ -148,6 +159,12 @@ class FoundationPose:
 
         poses = self.generate_random_pose_hypo(K=K, rgb=rgb, depth=depth_np, mask=ob_mask)
         logging.info(f"poses:{poses.shape}")
+        n_hypo = len(poses)
+        if self.device_mesh is not None:
+            from .parallel.sharding import shard_hypotheses
+
+            poses, n_hypo = shard_hypotheses(jnp.asarray(poses, dtype=jnp.float32),
+                                             self.device_mesh)
 
         xyz_map = depth2xyzmap(depth, jnp.asarray(K, dtype=jnp.float32))
         if self.prune_to and self.prune_to < len(poses) and iteration > 2:
@@ -161,8 +178,15 @@ class FoundationPose:
                 mesh=self.mesh, rgb=rgb, depth=depth, K=K, ob_in_cams=coarse,
                 mesh_tensors=self.mesh_tensors, glctx=None, mesh_diameter=self.diameter,
             )
-            keep = np.argsort(-np.asarray(coarse_scores))[: self.prune_to]
+            keep = np.argsort(-np.asarray(coarse_scores)[:n_hypo])[: self.prune_to]
             poses = np.asarray(coarse)[keep]
+            n_hypo = len(poses)
+            if self.device_mesh is not None:
+                from .parallel.sharding import shard_hypotheses
+
+                poses, n_hypo = shard_hypotheses(
+                    jnp.asarray(poses, dtype=jnp.float32), self.device_mesh
+                )
             iteration = iteration - 2
         poses, vis = self.refiner.predict(
             mesh=self.mesh, mesh_tensors=self.mesh_tensors, rgb=rgb, depth=depth,
@@ -180,9 +204,9 @@ class FoundationPose:
             get_vis=self.debug >= 2,
         )
 
-        scores_np = np.asarray(scores)
+        scores_np = np.asarray(scores)[:n_hypo]
         ids = np.argsort(-scores_np)
-        poses_np = np.asarray(poses)[ids]
+        poses_np = np.asarray(poses)[:n_hypo][ids]
         logging.info(f"sorted scores (top5): {scores_np[ids][:5]}")
 
         best_pose = poses_np[0] @ self.get_tf_to_centered_mesh()

@@ -152,6 +152,25 @@ class TriMesh:
         save_mesh(path, self)
         return path
 
+    def is_watertight(self):
+        """True iff every undirected edge is shared by exactly two faces with
+        opposite orientation (closed, consistently wound 2-manifold).  Gates
+        backface culling in the rasterizer: for such meshes backfaces are
+        always occluded, so culling halves raster work without changing the
+        image (ops/rasterize.py render_batch(backface_cull=...))."""
+        f = np.asarray(self.faces, dtype=np.int64)
+        if len(f) == 0:
+            return False
+        n = int(f.max()) + 1
+        directed = np.concatenate(
+            [f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]], axis=0
+        )
+        keys = directed[:, 0] * n + directed[:, 1]
+        if len(np.unique(keys)) != len(keys):
+            return False  # a directed edge repeats -> inconsistent winding
+        rev = directed[:, 1] * n + directed[:, 0]
+        return bool(np.isin(keys, rev).all())
+
 
 # --------------------------------------------------------------------- OBJ --
 

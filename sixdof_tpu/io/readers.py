@@ -45,18 +45,26 @@ class _ReaderCommon:
     """Shared mask/heatmap/config logic, identical offline and live."""
 
     def update_config(self, args):
-        """CLI overrides onto icp_parameters.json (reference datareader.py:556-567)."""
-        config = self.get_parameters()
+        """CLI overrides onto icp_parameters.json (reference datareader.py:556-567).
+
+        Precedence CLI > JSON > dataclass defaults, routed through the typed
+        config tree (sixdof_tpu.config.IcpConfig); `self.icp_config` keeps the
+        typed form, the returned dict keeps the reference's nesting for the
+        pipeline functions.
+        """
+        cfg = self.get_icp_config()
         if args is not None:
-            if getattr(args, "debug", 0) >= 3:
-                config["debug_vis"] = True
-            if getattr(args, "box", None) is not None:
-                config["box"] = args.box
-            if getattr(args, "mesh", None) is not None:
-                config["mesh"] = args.mesh
-            if getattr(args, "voxel_size", None) is not None:
-                config["voxel_size"] = args.voxel_size
-        return config
+            cfg = cfg.apply_cli_overrides(args)
+        self.icp_config = cfg
+        return cfg.to_reference_dict()
+
+    def get_icp_config(self):
+        from ..config import IcpConfig
+
+        path = f"{self.base_dir}/configs/icp_parameters.json"
+        if os.path.exists(path):
+            return IcpConfig.from_json(path)
+        return IcpConfig()
 
     def get_parameters(self):
         with open(f"{self.base_dir}/configs/icp_parameters.json", "r") as f:

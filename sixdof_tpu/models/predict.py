@@ -70,7 +70,7 @@ DEFAULT_SCORER_CFG = dict(
 
 
 def _make_AB(mesh, poses, rgb01, xyz_map, K, crop_ratio, mesh_diameter, out_hw,
-             normalize_xyz, invalid_z_thresh):
+             normalize_xyz, invalid_z_thresh, backface_cull=False):
     """Build the (A=render, B=real) 6-channel crop pair for a pose batch.
 
     @rgb01: (H,W,3) in [0,1]; @xyz_map: (H,W,3) camera-frame meters.
@@ -80,7 +80,8 @@ def _make_AB(mesh, poses, rgb01, xyz_map, K, crop_ratio, mesh_diameter, out_hw,
         poses, K, crop_ratio=crop_ratio, out_size=(out_hw[1], out_hw[0]),
         mesh_diameter=mesh_diameter,
     )
-    rend = render_batch(mesh, poses, K, tf_to_crops, out_hw=out_hw, use_light=True)
+    rend = render_batch(mesh, poses, K, tf_to_crops, out_hw=out_hw, use_light=True,
+                        backface_cull=backface_cull)
     rgbA = rend["color"]
     xyzA = rend["xyz_map"]
     # crop tfs are axis-aligned affine -> separable matmul warp (MXU), not a
@@ -107,7 +108,8 @@ def _make_AB(mesh, poses, rgb01, xyz_map, K, crop_ratio, mesh_diameter, out_hw,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model", "iterations", "out_hw", "normalize_xyz", "trans_rep", "rot_rep"),
+    static_argnames=("model", "iterations", "out_hw", "normalize_xyz", "trans_rep", "rot_rep",
+                     "backface_cull"),
 )
 def refine_poses_jit(
     model,
@@ -126,20 +128,38 @@ def refine_poses_jit(
     normalize_xyz=False,
     trans_rep="tracknet",
     rot_rep="axis_angle",
+    backface_cull=False,
 ):
     """lax.scan of render->compare->update refinement iterations."""
 
     def one_iter(poses, _):
-        A, B, _, _ = _make_AB(
+        A, B, tf_to_crops, _ = _make_AB(
             mesh, poses, rgb01, xyz_map, K, crop_ratio, mesh_diameter, out_hw,
-            normalize_xyz, invalid_z_thresh=0.001,
+            normalize_xyz, invalid_z_thresh=0.001, backface_cull=backface_cull,
         )
         out = model.apply({"params": params}, A, B)
         if trans_rep == "tracknet":
             if not normalize_xyz:
                 trans_delta = jnp.tanh(out["trans"]) * trans_normalizer
             else:
-                trans_delta = out["trans"] * (mesh_diameter / 2.0)
+                trans_delta = out["trans"]
+        elif trans_rep == "deepim":
+            # z-scaled image-space decode (predict_pose_refine.py:201-215):
+            # uv offset in crop pixels x input size, z multiplicative
+            centers = poses[:, :3, 3]
+            z_pred = out["trans"][:, 2] * centers[:, 2]
+            uvs = jnp.einsum("ij,bj->bi", K, centers)
+            uvs = uvs / uvs[:, 2:3]
+            uvA_crop = jnp.einsum("bij,bj->bi", tf_to_crops, uvs)[:, :2]
+            uv_pred_crop = uvA_crop + out["trans"][:, :2] * out_hw[0]
+            uvh = jnp.concatenate([uv_pred_crop, jnp.ones_like(z_pred)[:, None]], axis=-1)
+            uv_pred = jnp.einsum("bij,bj->bi", jnp.linalg.inv(tf_to_crops), uvh)
+            uv_pred = uv_pred[:, :2] / uv_pred[:, 2:3]
+            ray = jnp.einsum(
+                "ij,bj->bi", jnp.linalg.inv(K),
+                jnp.concatenate([uv_pred, jnp.ones_like(z_pred)[:, None]], axis=-1),
+            )
+            trans_delta = ray * z_pred[:, None] - centers
         else:
             trans_delta = out["trans"]
         if rot_rep == "axis_angle":
@@ -150,6 +170,9 @@ def refine_poses_jit(
             rot_mat_delta = jnp.swapaxes(rotation_6d_to_matrix(out["rot"]), -1, -2)
         else:
             raise RuntimeError(rot_rep)
+        if normalize_xyz:
+            # global post-scale, all trans_reps (predict_pose_refine.py:229)
+            trans_delta = trans_delta * (mesh_diameter / 2.0)
         new_poses = egocentric_delta_pose_to_pose(poses, trans_delta, rot_mat_delta)
         return new_poses, None
 
@@ -188,10 +211,12 @@ def _depth_alignment_score(A, B, rend, poses, mesh_diameter):
     return geom / (0.05 * mesh_diameter) + overlap + 2.0 * col
 
 
-@functools.partial(jax.jit, static_argnames=("model", "out_hw", "normalize_xyz", "mode"))
+@functools.partial(jax.jit, static_argnames=("model", "out_hw", "normalize_xyz", "mode",
+                                              "backface_cull"))
 def score_poses_jit(
     model, params, mesh: MeshArrays, poses, rgb01, xyz_map, K, mesh_diameter,
     crop_ratio, out_hw=(160, 160), normalize_xyz=False, mode="network",
+    backface_cull=False,
 ):
     """Single-pass hypothesis scoring (tournament degenerates to one pass).
 
@@ -200,7 +225,7 @@ def score_poses_jit(
     """
     A, B, _, rend = _make_AB(
         mesh, poses, rgb01, xyz_map, K, crop_ratio, mesh_diameter, out_hw,
-        normalize_xyz, invalid_z_thresh=0.1,
+        normalize_xyz, invalid_z_thresh=0.1, backface_cull=backface_cull,
     )
     score = 0.0
     if mode in ("network", "hybrid"):
@@ -227,12 +252,14 @@ def pack_rgbd(rgb_u8, depth_u16):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model", "iterations", "out_hw", "normalize_xyz", "trans_rep", "rot_rep"),
+    static_argnames=("model", "iterations", "out_hw", "normalize_xyz", "trans_rep", "rot_rep",
+                     "backface_cull"),
 )
 def track_pose_jit(
     model, params, mesh: MeshArrays, pose_last, rgbd_u8, K, mesh_diameter,
     crop_ratio, trans_normalizer, rot_normalizer, iterations: int, out_hw=(160, 160),
     normalize_xyz=False, trans_rep="tracknet", rot_rep="axis_angle",
+    backface_cull=False,
 ):
     """Fused tracking step: depth erode+bilateral -> xyz map -> refine scan.
 
@@ -253,7 +280,7 @@ def track_pose_jit(
     poses = refine_poses_jit(
         model, params, mesh, pose_last, rgb01, xyz_map, K, mesh_diameter, crop_ratio,
         trans_normalizer, rot_normalizer, iterations, out_hw, normalize_xyz,
-        trans_rep, rot_rep,
+        trans_rep, rot_rep, backface_cull,
     )
     return poses, depth
 
@@ -322,6 +349,7 @@ class PoseRefinePredictor(_PredictorBase):
             normalize_xyz=bool(self.cfg["normalize_xyz"]),
             trans_rep=self.cfg["trans_rep"],
             rot_rep=self.cfg["rot_rep"],
+            backface_cull=bool(self.cfg.get("backface_cull", False)),
         )
         vis = None
         if get_vis:
@@ -372,18 +400,53 @@ class ScorePredictor(_PredictorBase):
 
         xyz_map = depth2xyzmap(jnp.asarray(depth, dtype=jnp.float32),
                                jnp.asarray(K, dtype=jnp.float32))
-        scores = score_poses_jit(
-            self.model,
-            self.params,
-            mesh_tensors,
-            jnp.asarray(ob_in_cams, dtype=jnp.float32),
-            rgb01,
-            xyz_map,
-            jnp.asarray(K, dtype=jnp.float32),
-            float(mesh_diameter),
-            float(self.cfg["crop_ratio"]),
-            out_hw=tuple(self.cfg["input_resize"]),
-            normalize_xyz=bool(self.cfg["normalize_xyz"]),
-            mode=self.cfg.get("score_mode", "network"),
-        )
-        return scores, None
+
+        def score_fn(poses):
+            return score_poses_jit(
+                self.model,
+                self.params,
+                mesh_tensors,
+                jnp.asarray(poses, dtype=jnp.float32),
+                rgb01,
+                xyz_map,
+                jnp.asarray(K, dtype=jnp.float32),
+                float(mesh_diameter),
+                float(self.cfg["crop_ratio"]),
+                out_hw=tuple(self.cfg["input_resize"]),
+                normalize_xyz=bool(self.cfg["normalize_xyz"]),
+                mode=self.cfg.get("score_mode", "network"),
+                backface_cull=bool(self.cfg.get("backface_cull", False)),
+            )
+
+        max_batch = self.cfg.get("max_batch")
+        n = len(ob_in_cams)
+        if max_batch is None or n <= max_batch:
+            return score_fn(ob_in_cams), None
+        return self._tournament(score_fn, np.asarray(ob_in_cams), int(max_batch)), None
+
+    @staticmethod
+    def _tournament(score_fn, poses_np, max_batch):
+        """Multi-chunk elimination (reference predict_score.py:182-214 +
+        pose_dataset.py:129-134 select_by_indices): each round splits the
+        surviving set into max_batch-sized chunks (the last padded by
+        repeating its first pose — static shapes for jit), keeps each chunk's
+        argmax, and the FINAL round's scores+100 land in the global array;
+        eliminated hypotheses keep score 0."""
+        n = len(poses_np)
+        global_ids = np.arange(n)
+        scores_global = np.zeros(n, dtype=np.float32)
+        while True:
+            m = len(global_ids)
+            if m <= max_batch:
+                scores = np.asarray(score_fn(poses_np[global_ids]))
+                scores_global[global_ids] = scores + 100.0
+                return jnp.asarray(scores_global)
+            pad = (-m) % max_batch
+            # pad the last chunk by repeating the first survivor: duplicates
+            # score identically, so a padded winner is still a real pose id
+            padded = np.concatenate([global_ids, np.repeat(global_ids[:1], pad)])
+            winners = []
+            for chunk in padded.reshape(-1, max_batch):
+                s = np.asarray(score_fn(poses_np[chunk]))
+                winners.append(chunk[int(np.argmax(s))])
+            global_ids = np.asarray(winners)

@@ -33,7 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = 3.0e38  # python scalar: jnp constants would be captured tracers
 
 
-def _kernel(coef_ref, z_out, tid_out, z_acc, tid_acc, *, C, TILE, W, K):
+def _kernel(cnt_ref, coef_ref, z_out, tid_out, z_acc, tid_acc, *, C, TILE, W, K, NT):
+    b = pl.program_id(0)
     t = pl.program_id(1)
     k = pl.program_id(2)
 
@@ -42,30 +43,36 @@ def _kernel(coef_ref, z_out, tid_out, z_acc, tid_acc, *, C, TILE, W, K):
         z_acc[...] = jnp.full((1, TILE), _BIG, dtype=jnp.float32)
         tid_acc[...] = jnp.full((1, TILE), -1, dtype=jnp.int32)
 
-    pid = t * TILE + jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
-    px = (pid % W).astype(jnp.float32)
-    py = (pid // W).astype(jnp.float32)
+    # banded candidate lists are front-packed: chunks beyond this tile's
+    # candidate count are all never-inside padding — skip their compute
+    # (cnt arrives via scalar prefetch, flat (B*NT,))
+    @pl.when(k * C < cnt_ref[b * NT + t])
+    def _():
+        pid = t * TILE + jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
+        px = (pid % W).astype(jnp.float32)
+        py = (pid // W).astype(jnp.float32)
 
-    c = coef_ref[0, 0]  # (4C, 3)
-    # elementwise plane evaluation: exact fp32 on the VPU.  A dot_general here
-    # would multiply in bf16 on the MXU, and thin triangles carry huge
-    # coefficients (1/area), so bf16 edge error reaches O(1) barycentric units.
-    vals = c[:, 0:1] * px + c[:, 1:2] * py + c[:, 2:3]  # (4C, TILE)
-    l0 = vals[0:C]
-    l1 = vals[C : 2 * C]
-    l2 = vals[2 * C : 3 * C]
-    iz = vals[3 * C : 4 * C]
-    inside = (l0 >= 0) & (l1 >= 0) & (l2 >= 0) & (iz > 1e-12)
-    z = jnp.where(inside, 1.0 / jnp.maximum(iz, 1e-12), _BIG)  # (C,TILE)
+        c = coef_ref[0, 0, 0]  # (4C, 3)
+        # elementwise plane evaluation: exact fp32 on the VPU.  A dot_general
+        # here would multiply in bf16 on the MXU, and thin triangles carry
+        # huge coefficients (1/area), so bf16 edge error reaches O(1)
+        # barycentric units.
+        vals = c[:, 0:1] * px + c[:, 1:2] * py + c[:, 2:3]  # (4C, TILE)
+        l0 = vals[0:C]
+        l1 = vals[C : 2 * C]
+        l2 = vals[2 * C : 3 * C]
+        iz = vals[3 * C : 4 * C]
+        inside = (l0 >= 0) & (l1 >= 0) & (l2 >= 0) & (iz > 1e-12)
+        z = jnp.where(inside, 1.0 / jnp.maximum(iz, 1e-12), _BIG)  # (C,TILE)
 
-    zmin = jnp.min(z, axis=0, keepdims=True)  # (1,TILE)
-    idx = jax.lax.broadcasted_iota(jnp.int32, (C, TILE), 0)
-    cand = jnp.where(z <= zmin, idx, jnp.int32(2**30))
-    tbest = jnp.min(cand, axis=0, keepdims=True)  # (1,TILE)
+        zmin = jnp.min(z, axis=0, keepdims=True)  # (1,TILE)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (C, TILE), 0)
+        cand = jnp.where(z <= zmin, idx, jnp.int32(2**30))
+        tbest = jnp.min(cand, axis=0, keepdims=True)  # (1,TILE)
 
-    closer = (zmin < z_acc[...]) & (zmin < _BIG)
-    z_acc[...] = jnp.where(closer, zmin, z_acc[...])
-    tid_acc[...] = jnp.where(closer, k * C + tbest, tid_acc[...])
+        closer = (zmin < z_acc[...]) & (zmin < _BIG)
+        z_acc[...] = jnp.where(closer, zmin, z_acc[...])
+        tid_acc[...] = jnp.where(closer, k * C + tbest, tid_acc[...])
 
     @pl.when(k == K - 1)
     def _():
@@ -75,49 +82,84 @@ def _kernel(coef_ref, z_out, tid_out, z_acc, tid_acc, *, C, TILE, W, K):
 
 
 @functools.partial(jax.jit, static_argnames=("H", "W", "tri_chunk", "tile", "interpret"))
-def rasterize_zbuffer_pallas(coef_grouped, H, W, tri_chunk=128, tile=2048, interpret=False):
-    """@coef_grouped: (B, K, 4C, 3) grouped plane coefficients.
+def rasterize_zbuffer_pallas(coef_grouped, H, W, tri_chunk=128, tile=2048, interpret=False,
+                             counts=None):
+    """@coef_grouped: (B, K, 4C, 3) grouped plane coefficients, or
+    (B, n_tiles, K, 4C, 3) per-pixel-tile (banded) coefficients — in the
+    banded form, pixel tile t only tests its own candidate chunks (the tile
+    size must then equal the band size the binning used).
+    @counts: optional (B, n_tiles) int32 candidate counts per tile; chunks
+    beyond a tile's count skip their compute (front-packed padding).
 
     Returns (zbuf (B, H*W) [0 where miss], tid (B, H*W) int32 [-1 = miss]).
+    In the banded form tid indexes the tile's LOCAL candidate list.
     """
-    B, K, C4, _ = coef_grouped.shape
+    banded = coef_grouped.ndim == 5
+    if not banded:
+        B, K, C4, _ = coef_grouped.shape
+        coef_grouped = coef_grouped[:, None]
+    else:
+        B, _, K, C4, _ = coef_grouped.shape
     C = C4 // 4
     P = H * W
     pad = (-P) % tile
     P_pad = P + pad
     n_tiles = P_pad // tile
+    if banded and coef_grouped.shape[1] != n_tiles:
+        raise ValueError(
+            f"banded coef tiles {coef_grouped.shape[1]} != pixel tiles {n_tiles}"
+        )
+    if counts is None:
+        counts_flat = jnp.full((B * n_tiles,), K * C, dtype=jnp.int32)
+    else:
+        counts_flat = jnp.broadcast_to(
+            counts.astype(jnp.int32), (B, n_tiles)
+        ).reshape(-1)
 
     grid = (B, n_tiles, K)
-    zbuf, tid = pl.pallas_call(
-        functools.partial(_kernel, C=C, TILE=tile, W=W, K=K),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, C4, 3), lambda b, t, k: (b, k, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, C4, 3),
+                         (lambda b, t, k, *_: (b, t, k, 0, 0)) if banded
+                         else (lambda b, t, k, *_: (b, 0, k, 0, 0))),
         ],
         out_specs=[
             # one private (pose, pixel-tile) block each — Pallas output blocks
             # are write-only, so a block shared across poses would be
             # clobbered by later revisits
-            pl.BlockSpec((1, 1, 1, tile), lambda b, t, k: (b, t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, tile), lambda b, t, k: (b, t, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            # trailing (1, tile) block dims satisfy Mosaic (dim==array dim)
-            jax.ShapeDtypeStruct((B, n_tiles, 1, tile), jnp.float32),
-            jax.ShapeDtypeStruct((B, n_tiles, 1, tile), jnp.int32),
+            pl.BlockSpec((1, 1, 1, tile), lambda b, t, k, *_: (b, t, 0, 0)),
+            pl.BlockSpec((1, 1, 1, tile), lambda b, t, k, *_: (b, t, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((1, tile), jnp.float32),
             pltpu.VMEM((1, tile), jnp.int32),
         ],
+    )
+    zbuf, tid = pl.pallas_call(
+        functools.partial(_kernel, C=C, TILE=tile, W=W, K=K, NT=n_tiles),
+        grid_spec=grid_spec,
+        out_shape=[
+            # trailing (1, tile) block dims satisfy Mosaic (dim==array dim)
+            jax.ShapeDtypeStruct((B, n_tiles, 1, tile), jnp.float32),
+            jax.ShapeDtypeStruct((B, n_tiles, 1, tile), jnp.int32),
+        ],
         interpret=interpret,
-    )(coef_grouped)
+    )(counts_flat, coef_grouped)
     zbuf = zbuf.reshape(B, P_pad)[:, :P]
     tid = tid.reshape(B, P_pad)[:, :P]
     return zbuf, tid
+
+
+def group_banded(banded_coef, tri_chunk=128):
+    """(B,nb,cap,4,3) banded coefficients -> (B,nb,K,4C,3) grouped rows
+    [all l0 | all l1 | all l2 | all inv_z] per chunk (same layout contract
+    as group_coefficients; padding rows are already never-inside)."""
+    B, nb, cap, _, _ = banded_coef.shape
+    K = cap // tri_chunk
+    c = banded_coef.reshape(B, nb, K, tri_chunk, 4, 3).transpose(0, 1, 2, 4, 3, 5)
+    return c.reshape(B, nb, K, 4 * tri_chunk, 3)
 
 
 def group_coefficients(coef, valid, tri_chunk=128):

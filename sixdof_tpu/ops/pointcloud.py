@@ -251,3 +251,50 @@ def remove_statistical_outliers(pcd: PointCloud, nb_neighbors=20, std_ratio=1.0)
     mu, sigma = mean_d.mean(), mean_d.std()
     keep = np.where(mean_d <= mu + std_ratio * sigma)[0]
     return pcd.select_by_index(keep)
+
+
+def smooth_resample(pcd: PointCloud, radius, n_iterations, n_points, max_nn=16) -> PointCloud:
+    """Surface smoothing + uniform resampling of a point cloud.
+
+    TPU-native stand-in for the reference's ball-pivot mesh detour
+    (src/pose_estimation.py:433-464: ball-pivot triangulate at radii
+    [r,2r,4r] -> filter_smooth_simple(n_iter) -> sample_points_poisson_disk
+    (n_points) -> estimate_normals).  The mesh there is only a smoothing +
+    blue-noise-resampling device — the result is converted straight back to a
+    point cloud that ICP consumes.  We apply the same two operators directly:
+
+    - `filter_smooth_simple` averages each vertex with its 1-ring; on a point
+      cloud the equivalent operator is iterated neighborhood averaging over
+      the radius-graph (neighbors within 4*radius, the largest pivot ball);
+    - `sample_points_poisson_disk` yields uniformly-spread points; farthest-
+      point sampling gives the same blue-noise coverage guarantee.
+    """
+    pts = np.asarray(pcd.points, dtype=np.float64)
+    n = len(pts)
+    if n == 0:
+        return pcd.copy()
+    tree = cKDTree(pts)
+    k = min(max_nn, n)
+    dists, idx = tree.query(pts, k=k, workers=-1)
+    if dists.ndim == 1:
+        dists, idx = dists[:, None], idx[:, None]
+    w = (dists <= 4.0 * radius).astype(np.float64)
+    w[:, 0] = 1.0  # self
+    cnt = np.clip(w.sum(axis=1, keepdims=True), 1.0, None)
+    sm = pts
+    for _ in range(int(n_iterations)):
+        sm = (sm[idx] * w[..., None]).sum(axis=1) / cnt
+    # farthest-point sampling to n_points (uniform blue-noise coverage)
+    m = min(int(n_points), n)
+    sel = np.empty(m, dtype=np.int64)
+    sel[0] = 0
+    dmin = np.linalg.norm(sm - sm[0], axis=1)
+    for j in range(1, m):
+        sel[j] = int(np.argmax(dmin))
+        dmin = np.minimum(dmin, np.linalg.norm(sm - sm[sel[j]], axis=1))
+    out = PointCloud(
+        sm[sel],
+        None if pcd.colors is None else pcd.colors[sel],
+        None,
+    )
+    return out

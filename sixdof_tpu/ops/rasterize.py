@@ -118,10 +118,12 @@ def _tri_setup(uv_crop, z_cam, faces, znear):
     return coef, valid
 
 
-def _rasterize_one(uv_crop, z_cam, faces, out_hw, tri_chunk, znear):
+def _rasterize_one(uv_crop, z_cam, faces, out_hw, tri_chunk, znear, valid_override=None):
     """Z-buffer rasterization of one hypothesis.
 
     @uv_crop: (V,2) crop-space vertex coords; @z_cam: (V,) camera depths.
+    @valid_override: optional (T,) bool replacing the computed validity
+    (e.g. with backface culling folded in).
     Returns (tri_id (H,W) int32 [-1 = miss], bary (H,W,3), z (H,W)).
     """
     H, W = out_hw
@@ -129,6 +131,8 @@ def _rasterize_one(uv_crop, z_cam, faces, out_hw, tri_chunk, znear):
     T = faces.shape[0]
     pad = (-T) % tri_chunk
     coef, valid = _tri_setup(uv_crop, z_cam, faces, znear)
+    if valid_override is not None:
+        valid = valid_override
     coef_p = jnp.pad(coef, ((0, pad), (0, 0), (0, 0)))
     valid_p = jnp.pad(valid, (0, pad))
     n_chunks = (T + pad) // tri_chunk
@@ -190,6 +194,62 @@ def _interpolate(vertex_attr, faces, tid, bary, z_cam, zbuf):
     return jnp.where((tid >= 0)[..., None], out, 0.0)
 
 
+def _attr_plane_table(vertex_attr, faces, z_cam, coef):
+    """Per-triangle screen-space attribute planes.
+
+    Perspective-correct interpolation attr(p) = z(p) * sum_k l_k(p) a_k/z_k is
+    LINEAR in (px,py,1) once the barycentric planes are folded in:
+    attr(p) = z(p) * (A px + B py + C), [A,B,C] = sum_k (a_k/z_k) c_k.
+    Folding at setup time turns per-pixel shading into ONE fp32 row gather of
+    3*D floats per pixel — no faces/vertex/barycentric gathers (the per-pixel
+    gather cascade dominated render time on TPU; see round-2 notes).
+
+    @vertex_attr: (V,D); @coef: (T,4,3) bary planes from _tri_setup.
+    Returns (T+1, 3, D); row T = zeros for tid == -1 misses.
+    """
+    a = vertex_attr[faces]  # (T,3,D)
+    z = jnp.maximum(z_cam[faces], 1e-12)[..., None]  # (T,3,1)
+    planes = jnp.einsum("tkc,tkd->tcd", coef[:, :3, :], a / z)  # (T,3coef,D)
+    return jnp.concatenate([planes, jnp.zeros_like(planes[:1])], axis=0)
+
+
+_NEVER_ROW = np.zeros((4, 3), dtype=np.float32)
+_NEVER_ROW[0] = [0.0, 0.0, -1.0]  # l0(p) == -1: never inside
+
+
+def _bin_triangles_bands(coef, valid, vy, faces, n_bands, band_rows, cap):
+    """Row-band triangle binning for the banded z-buffer kernel.
+
+    Each band of `band_rows` pixel rows gets the <= cap triangles whose
+    y-extent overlaps it (selection via top_k over a rank key — XLA-native,
+    no ragged shapes).  Overflow beyond cap drops the LAST triangle ids;
+    callers size cap so real workloads never overflow (crop windows scale
+    with the object, so per-band occupancy is stable by construction).
+
+    @coef: (B,T,4,3); @valid: (B,T); @vy: (B,V) crop-space vertex y.
+    Returns (banded_coef (B,nb,cap,4,3), ids (B,nb,cap) int32 [T = pad]).
+    """
+    B, T = valid.shape
+    ty = vy[:, faces]  # (B,T,3)
+    ymin = ty.min(axis=-1)
+    ymax = ty.max(axis=-1)
+    lo = (jnp.arange(n_bands, dtype=jnp.float32) * band_rows)[None, :, None]
+    hi = lo + (band_rows - 1)
+    overlap = (
+        (ymax[:, None, :] >= lo) & (ymin[:, None, :] <= hi) & valid[:, None, :]
+    )  # (B,nb,T)
+    tid = jnp.arange(T, dtype=jnp.int32)
+    key = jnp.where(overlap, 2 * T - tid[None, None, :], T - tid[None, None, :])
+    topv, topi = jax.lax.top_k(key, cap)  # (B,nb,cap)
+    ids = jnp.where(topv > T, topi, T).astype(jnp.int32)
+
+    never = jnp.asarray(_NEVER_ROW)[None]
+    coef_ext = jnp.concatenate([coef, jnp.broadcast_to(never, (B, 1, 4, 3))], axis=1)
+    flat = ids.reshape(B, -1)
+    banded = jnp.take_along_axis(coef_ext, flat[:, :, None, None], axis=1)
+    return banded.reshape(B, n_bands, cap, 4, 3), ids
+
+
 def _sample_texture(tex, uv):
     """Bilinear texture sample; @uv: (H,W,2) in [0,1]; @tex: (Ht,Wt,3)."""
     Ht, Wt = tex.shape[:2]
@@ -216,7 +276,7 @@ def _sample_texture(tex, uv):
 @functools.partial(
     jax.jit,
     static_argnames=("out_hw", "tri_chunk", "pose_chunk", "get_normal", "use_light",
-                     "use_pallas"),
+                     "use_pallas", "backface_cull", "band_min_tris"),
 )
 def render_batch(
     mesh: MeshArrays,
@@ -233,6 +293,8 @@ def render_batch(
     w_diffuse=0.5,
     light_dir=(0.0, 0.0, 1.0),
     use_pallas=None,
+    backface_cull=False,
+    band_min_tris=4096,
 ):
     """Render N hypotheses into their crop windows.
 
@@ -260,79 +322,170 @@ def render_batch(
         uv_crop = (uvh @ crop_tf.T)[:, :2]
         return p_cam, z, uv_crop
 
-    def shade(pose, p_cam, z, tid, bary, zbuf):
+    T = mesh.faces.shape[0]
+    px = jnp.tile(jnp.arange(W, dtype=jnp.float32)[None, :], (H, 1)).reshape(-1)
+    py = jnp.repeat(jnp.arange(H, dtype=jnp.float32), W)
+
+    def _attr_table(pose, z, coef):
+        """Per-pose (T+1,3,D) screen-plane table over all shade channels."""
         R = pose[:3, :3]
-        alpha = (tid >= 0).astype(jnp.float32)
-
-        xyz = _interpolate(p_cam, mesh.faces, tid, bary, z, zbuf)
-        if mesh.tex is not None:
-            uv_px = _interpolate(mesh.uv, mesh.faces, tid, bary, z, zbuf)
-            color = _sample_texture(mesh.tex, uv_px)
-        else:
-            color = _interpolate(mesh.vertex_color, mesh.faces, tid, bary, z, zbuf)
-
         n_cam_v = mesh.vnormals @ R.T  # (V,3)
-        normal = None
-        if get_normal or use_light:
-            normal = _interpolate(n_cam_v, mesh.faces, tid, bary, z, zbuf)
-            normal = normal / jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-12)
+        chans = []
+        if mesh.tex is not None:
+            chans.append(mesh.uv)
+        else:
+            chans.append(mesh.vertex_color)
         if use_light:
             # per-vertex diffuse then interpolate, like dr.interpolate of
             # diffuse_intensity (reference Utils.py:206-207)
             nv = n_cam_v / jnp.maximum(jnp.linalg.norm(n_cam_v, axis=-1, keepdims=True), 1e-12)
-            diffuse_v = jnp.clip(jnp.sum(nv * (-light)[None], axis=-1), 0.0, 1.0)[:, None]
-            diffuse = _interpolate(diffuse_v, mesh.faces, tid, bary, z, zbuf)[..., 0]
-            color = color * w_ambient + diffuse[..., None] * color * w_diffuse
+            chans.append(jnp.clip(jnp.sum(nv * (-light)[None], axis=-1), 0.0, 1.0)[:, None])
+        if get_normal:
+            chans.append(n_cam_v)
+        attr_v = jnp.concatenate(chans, axis=-1)
+        return _attr_plane_table(attr_v, mesh.faces, z, coef)
+
+    n_base = 2 if mesh.tex is not None else 3
+
+    def shade(crop_tf, table, ids, tid, zbuf):
+        """Packed-plane shading: ONE fp32 row gather per pixel (attribute
+        screen-planes, _attr_plane_table) + z-buffer backprojection for xyz.
+        Replaces the faces/vertex/barycentric per-pixel gather cascade that
+        dominated render time on TPU.
+
+        @table: (R,3,D) plane rows (last row = zeros for miss);
+        @ids: (P,) row index per pixel; @tid: (H,W) for the alpha mask.
+        """
+        alpha = (tid >= 0).astype(jnp.float32)
+        g = table[ids]  # (P,3,D) — the single gather
+        zb = zbuf.reshape(-1)
+        attr = (g[:, 0] * px[:, None] + g[:, 1] * py[:, None] + g[:, 2]) * zb[:, None]
+
+        o = n_base
+        if mesh.tex is not None:
+            color = _sample_texture(mesh.tex, attr[:, :2].reshape(H, W, 2))
+        else:
+            color = attr[:, :3].reshape(H, W, 3)
+        if use_light:
+            diffuse = attr[:, o : o + 1].reshape(H, W, 1)
+            o += 1
+            color = color * w_ambient + diffuse * color * w_diffuse
+        normal = None
+        if get_normal:
+            normal = attr[:, o : o + 3].reshape(H, W, 3)
+            normal = normal / jnp.maximum(
+                jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-12
+            )
+
+        # xyz by backprojection: uv_crop = (crop_tf @ K) xyz/z, so
+        # xyz = z * (crop_tf @ K)^-1 (px,py,1) — exact at pixel centers,
+        # no interpolation table needed
+        Minv = jnp.linalg.inv(crop_tf @ K)
+        ray = jnp.stack([px, py, jnp.ones_like(px)], axis=-1) @ Minv.T  # (P,3)
+        xyz = (ray * zb[:, None]).reshape(H, W, 3)
+
         color = jnp.clip(color, 0.0, 1.0) * alpha[..., None]
         out = {"color": color, "depth": zbuf, "xyz_map": xyz, "alpha": alpha}
         if get_normal:
             out["normal"] = normal
         return out
 
-    def render_one(pose, crop_tf):
-        p_cam, z, uv_crop = vertex_setup(pose, crop_tf)
-        tid, bary, zbuf = _rasterize_one(uv_crop, z, mesh.faces, (H, W), tri_chunk, znear)
-        return shade(pose, p_cam, z, tid, bary, zbuf)
+    p_cam, z_all, uv_all = jax.vmap(vertex_setup)(poses, crop_tfs.astype(jnp.float32))
+    coef, valid = jax.vmap(lambda uv, z: _tri_setup(uv, z, mesh.faces, znear))(uv_all, z_all)
+    if backface_cull:
+        # exact facing test in camera space (independent of image-plane
+        # winding conventions): outward normal vs the view ray to v0.  Only
+        # valid for watertight meshes, where backfaces are always occluded —
+        # halves raster work (nvdiffrast does not cull, Utils.py:182; for
+        # closed meshes the image is identical)
+        def facing(pc_):
+            v0 = pc_[mesh.faces[:, 0]]
+            n = jnp.cross(pc_[mesh.faces[:, 1]] - v0, pc_[mesh.faces[:, 2]] - v0)
+            return jnp.sum(n * v0, axis=-1) < 0.0
+
+        valid = valid & jax.vmap(facing)(p_cam)
+
+    tables = jax.vmap(_attr_table)(poses, z_all, coef)  # (B,T+1,3,D)
 
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
+    band_rows = 8
+    # banding pays only when the triangle count is large enough that the
+    # brute-force (tri x pixel) kernel dwarfs the binning overhead (top_k +
+    # candidate gathers cost ~200ms at B=252); below that the flat kernel +
+    # backface culling wins (measured r2: T=1280 banded 560ms vs flat 304ms)
+    use_banded = (
+        use_pallas and T >= band_min_tris and H % band_rows == 0
+        and (band_rows * W) % 128 == 0
+    )
+    if use_banded:
+        from .pallas.raster_kernel import group_banded, rasterize_zbuffer_pallas
+
+        pc = 128
+        n_bands = H // band_rows
+        # cap: generous static bound on per-band candidates; the kernel skips
+        # chunks beyond each band's true count, so a large cap costs nothing
+        cap = int(min(T + ((-T) % pc), ((T // 2 + 127) // 128 + 1) * 128))
+        banded, ids_band = _bin_triangles_bands(
+            coef, valid, uv_all[..., 1], mesh.faces, n_bands, band_rows, cap
+        )
+        counts = (ids_band < T).sum(axis=-1).astype(jnp.int32)  # (B,nb)
+        grouped = group_banded(banded, tri_chunk=pc)
+        zbuf_flat, tid_flat = rasterize_zbuffer_pallas(
+            grouped, H, W, tri_chunk=pc, tile=band_rows * W, counts=counts
+        )
+        zbuf = zbuf_flat.reshape(B, H, W)
+        tid = tid_flat.reshape(B, H, W)
+
+        # shade straight off the BANDED table: band-local candidate rows of
+        # the full plane table + one zero miss-row — keeps exactly one gather
+        def banded_table(table_i, ids_i):
+            sel = table_i[ids_i.reshape(-1)]  # (nb*cap,3,D); pads hit row T=0s
+            return jnp.concatenate([sel, jnp.zeros_like(sel[:1])], axis=0)
+
+        tables_b = jax.vmap(banded_table)(tables, ids_band)
+        band_of_px = (jnp.arange(H * W, dtype=jnp.int32) // (band_rows * W))
+
+        def pixel_ids(tid_i):
+            t_ = tid_i.reshape(-1)
+            return jnp.where(t_ < 0, n_bands * cap, band_of_px * cap + t_)
+
+        ids_px = jax.vmap(pixel_ids)(tid)
+        return jax.vmap(shade)(crop_tfs.astype(jnp.float32), tables_b, ids_px, tid, zbuf)
+
     if use_pallas:
         from .pallas.raster_kernel import group_coefficients, rasterize_zbuffer_pallas
 
-        p_cam, z_all, uv_all = jax.vmap(vertex_setup)(poses, crop_tfs.astype(jnp.float32))
-        coef, valid = jax.vmap(lambda uv, z: _tri_setup(uv, z, mesh.faces, znear))(
-            uv_all, z_all
-        )
         pc = 128
         grouped = group_coefficients(coef, valid, tri_chunk=pc)
         zbuf_flat, tid_flat = rasterize_zbuffer_pallas(grouped, H, W, tri_chunk=pc)
+        tid = tid_flat.reshape(B, H, W)
+        zbuf = zbuf_flat.reshape(B, H, W)
+    else:
+        # chunk the hypothesis batch to bound the (chunk, tri_chunk, H, W) temps
+        pose_chunk = min(pose_chunk, B)
+        pad = (-B) % pose_chunk
+        uv_p = jnp.concatenate([uv_all, jnp.zeros((pad, *uv_all.shape[1:]))])
+        z_p = jnp.concatenate([z_all, jnp.ones((pad, *z_all.shape[1:]))])
+        valid_p = jnp.concatenate([valid, jnp.zeros((pad, T), dtype=valid.dtype)])
 
-        T_pad = grouped.shape[1] * pc
-        coef_pad = jnp.pad(coef, ((0, 0), (0, T_pad - coef.shape[1]), (0, 0), (0, 0)))
+        def raster_one(uv, z, va):
+            t_, _, zb = _rasterize_one(uv, z, mesh.faces, (H, W), tri_chunk, znear,
+                                       valid_override=va)
+            return t_, zb
 
-        def finish(pose, p_cam_i, z_i, zbuf_i, tid_i, coef_i):
-            tid2 = tid_i.reshape(H, W)
-            zb = zbuf_i.reshape(H, W)
-            # winner barycentrics recomputed once per pixel
-            px = jnp.tile(jnp.arange(W, dtype=jnp.float32)[None, :], (H, 1)).reshape(-1)
-            py = jnp.repeat(jnp.arange(H, dtype=jnp.float32), W)
-            pix = jnp.stack([px, py, jnp.ones_like(px)], axis=0)
-            cw = coef_i[jnp.maximum(tid2.reshape(-1), 0)]
-            lw = (cw[:, :3, 0] * pix[0][:, None] + cw[:, :3, 1] * pix[1][:, None]
-                  + cw[:, :3, 2])
-            bary = lw.reshape(H, W, 3)
-            return shade(pose, p_cam_i, z_i, tid2, bary, zb)
+        tid_c, zbuf_c = jax.lax.map(
+            lambda uz: jax.vmap(raster_one)(uz[0], uz[1], uz[2]),
+            (uv_p.reshape(-1, pose_chunk, *uv_all.shape[1:]),
+             z_p.reshape(-1, pose_chunk, *z_all.shape[1:]),
+             valid_p.reshape(-1, pose_chunk, T)),
+        )
+        tid = tid_c.reshape(-1, H, W)[:B]
+        zbuf = zbuf_c.reshape(-1, H, W)[:B]
 
-        outs = jax.vmap(finish)(poses, p_cam, z_all, zbuf_flat, tid_flat, coef_pad)
-        return outs
+    def pixel_ids_full(tid_i):
+        t_ = tid_i.reshape(-1)
+        return jnp.where((t_ < 0) | (t_ >= T), T, t_)
 
-    # chunk the hypothesis batch to bound the (chunk, tri_chunk, H, W) temps
-    pose_chunk = min(pose_chunk, B)
-    pad = (-B) % pose_chunk
-    poses_p = jnp.concatenate([poses, jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (pad, 1, 1))])
-    crops_p = jnp.concatenate([crop_tfs.astype(jnp.float32),
-                               jnp.tile(jnp.eye(3, dtype=jnp.float32)[None], (pad, 1, 1))])
-    poses_c = poses_p.reshape(-1, pose_chunk, 4, 4)
-    crops_c = crops_p.reshape(-1, pose_chunk, 3, 3)
-    outs = jax.lax.map(lambda pc_: jax.vmap(render_one)(pc_[0], pc_[1]), (poses_c, crops_c))
-    return {k: v.reshape(-1, *v.shape[2:])[:B] for k, v in outs.items()}
+    ids_px = jax.vmap(pixel_ids_full)(tid)
+    return jax.vmap(shade)(crop_tfs.astype(jnp.float32), tables, ids_px, tid, zbuf)

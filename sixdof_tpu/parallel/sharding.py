@@ -65,3 +65,29 @@ def shard_batch(batch, mesh):
     """Place a host batch onto the mesh, sharded over `data`."""
     sh = data_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def pad_hypotheses(poses, mesh):
+    """Pad the hypothesis batch to a multiple of the mesh's data axis by
+    repeating the first pose (duplicates refine/score identically; callers
+    slice back to the original count)."""
+    import jax.numpy as jnp
+
+    n = poses.shape[0]
+    m = mesh.shape["data"]
+    pad = (-n) % m
+    if pad:
+        poses = jnp.concatenate([poses, jnp.broadcast_to(poses[:1], (pad, 4, 4))])
+    return poses, n
+
+
+def shard_hypotheses(poses, mesh):
+    """Place a (N,4,4) hypothesis batch sharded over the `data` axis.
+
+    Everything downstream of the poses input — crop transforms, hypothesis
+    renders, network forward, pose update — is per-hypothesis, so GSPMD
+    propagates this sharding through the whole register pipeline with zero
+    collectives until the host reads the scores (SURVEY.md §2.3: "shard the
+    hypothesis axis")."""
+    padded, n = pad_hypotheses(poses, mesh)
+    return jax.device_put(padded, data_sharding(mesh)), n

@@ -77,3 +77,40 @@ def test_make_yaml_dumpable():
 
     s = yaml.safe_dump(out)
     assert "1.5" in s and "2" in s
+
+
+def test_reader_routes_through_typed_config():
+    """readers.update_config must produce the pipeline dict via IcpConfig
+    (CLI > JSON > defaults) and keep the typed tree on the reader."""
+    import os
+
+    from sixdof_tpu.io.readers import DataReader
+
+    scene = os.path.join(os.path.dirname(__file__), "..", "demo_data", "synth_box")
+    if not os.path.isdir(scene):
+        import pytest
+
+        pytest.skip("demo scene absent")
+
+    class Args:
+        debug = 0
+        box = None
+        mesh = None
+        voxel_size = 9.25  # CLI override beats the scene JSON's 2.0
+
+    reader = DataReader(base_dir=scene, arguments=Args())
+    assert reader.parameters["voxel_size"] == 9.25
+    assert reader.icp_config.voxel_size == 9.25
+    # JSON beats dataclass defaults
+    assert reader.parameters["preprocess_target"]["max_pcd"] == 3000
+    # dataclass defaults fill keys the JSON omits
+    assert reader.parameters["preprocess_source"]["mesh"]["number_of_points"] == 3000
+
+
+def test_mesh_smoothing_config_roundtrip():
+    raw = {"preprocess_source": {"mesh": {"radius": 3.0, "number_of_iterations": 4,
+                                          "number_of_points": 500}}}
+    cfg = IcpConfig.from_dict(raw)
+    assert cfg.preprocess_source.mesh.radius == 3.0
+    back = cfg.to_reference_dict()
+    assert back["preprocess_source"]["mesh"]["number_of_points"] == 500

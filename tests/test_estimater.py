@@ -106,3 +106,61 @@ def test_register_empty_mask_fallback(small_estimator, scene_dir):
     empty = np.zeros_like(depth, dtype=bool)
     pose = est.register(K=reader.color_K, rgb=reader.get_color(0), depth=depth, ob_mask=empty)
     np.testing.assert_allclose(pose[:3, :3], np.eye(3), atol=1e-9)
+
+
+def test_scorer_tournament_multichunk():
+    """Chunked elimination semantics (reference predict_score.py:182-214):
+    final-round scores get +100, eliminated hypotheses stay at 0, and the
+    global argmax is the true best pose."""
+    import numpy as np
+
+    from sixdof_tpu.models.predict import ScorePredictor
+
+    n = 10
+    poses = np.zeros((n, 4, 4), dtype=np.float32)
+    poses[:, 0, 0] = np.arange(n)  # identify poses by [0,0]
+
+    # ground-truth quality: pose 7 is best everywhere
+    quality = np.array([0.1, 0.5, 0.2, 0.9, 0.3, 0.8, 0.4, 3.0, 0.6, 0.7])
+    calls = []
+
+    def score_fn(p):
+        ids = p[:, 0, 0].astype(int)
+        calls.append(ids.copy())
+        return quality[ids]
+
+    scores = np.asarray(ScorePredictor._tournament(score_fn, poses, max_batch=4))
+    assert scores.shape == (n,)
+    assert int(np.argmax(scores)) == 7
+    # final-round winners carry +100; everyone eliminated earlier is 0
+    assert scores[7] > 100.0
+    assert (scores == 0.0).sum() >= n - 4
+    # round 1: ceil(10/4)=3 chunks; round 2: 3 <= 4 -> final
+    assert len(calls) == 4
+
+
+def test_deepim_trans_decode_identity():
+    """deepim decode (predict_pose_refine.py:201-215): trans=(0,0,1) must be
+    a fixed point (uv offset 0, z multiplier 1 -> zero translation delta)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    K = jnp.asarray([[300.0, 0, 80], [0, 300.0, 60], [0, 0, 1]], dtype=jnp.float32)
+    tf_to_crops = jnp.tile(jnp.eye(3, dtype=jnp.float32)[None], (2, 1, 1))
+    poses = jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (2, 1, 1))
+    poses = poses.at[:, :3, 3].set(jnp.asarray([[0.01, -0.02, 0.5], [0.0, 0.0, 0.6]]))
+    out_trans = jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]])
+
+    centers = poses[:, :3, 3]
+    z_pred = out_trans[:, 2] * centers[:, 2]
+    uvs = jnp.einsum("ij,bj->bi", K, centers)
+    uvs = uvs / uvs[:, 2:3]
+    uvA_crop = jnp.einsum("bij,bj->bi", tf_to_crops, uvs)[:, :2]
+    uv_pred_crop = uvA_crop + out_trans[:, :2] * 160
+    uvh = jnp.concatenate([uv_pred_crop, jnp.ones_like(z_pred)[:, None]], axis=-1)
+    uv_pred = jnp.einsum("bij,bj->bi", jnp.linalg.inv(tf_to_crops), uvh)
+    uv_pred = uv_pred[:, :2] / uv_pred[:, 2:3]
+    ray = jnp.einsum("ij,bj->bi", jnp.linalg.inv(K),
+                     jnp.concatenate([uv_pred, jnp.ones_like(z_pred)[:, None]], axis=-1))
+    trans_delta = ray * z_pred[:, None] - centers
+    np.testing.assert_allclose(np.asarray(trans_delta), 0.0, atol=1e-5)

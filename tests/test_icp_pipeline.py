@@ -112,3 +112,57 @@ def test_global_registration_roughly_aligns(rng):
     err = est @ true_tf  # should be ~identity
     assert res.fitness > 0.2
     assert np.linalg.norm(err[:3, 3]) < 25.0
+
+
+def test_smooth_resample_reduces_noise_and_counts():
+    """ball-pivot branch equivalence (reference src/pose_estimation.py:433-464):
+    smoothing pulls noisy points toward the surface; resampling hits the
+    requested budget with uniform coverage."""
+    import numpy as np
+
+    from sixdof_tpu.io.mesh_io import PointCloud
+    from sixdof_tpu.ops.pointcloud import smooth_resample
+
+    rng = np.random.RandomState(0)
+    n = 2000
+    # noisy plane z=0, 100x100 mm extent, 1.5mm gaussian noise
+    pts = np.concatenate(
+        [rng.uniform(0, 100, (n, 2)), rng.randn(n, 1) * 1.5], axis=1
+    )
+    out = smooth_resample(PointCloud(pts), radius=3.0, n_iterations=5, n_points=500)
+    assert len(out.points) == 500
+    assert np.abs(out.points[:, 2]).std() < np.abs(pts[:, 2]).std() * 0.7
+    # blue-noise coverage: min pairwise distance should be healthy (no clumps)
+    from scipy.spatial import cKDTree
+
+    d, _ = cKDTree(out.points).query(out.points, k=2)
+    assert np.median(d[:, 1]) > 2.0
+
+
+def test_preprocess_source_mesh_branch_runs():
+    import copy
+    import numpy as np
+
+    from sixdof_tpu.app.icp_pipeline import preprocess_source
+    from sixdof_tpu.io.mesh_io import PointCloud
+
+    rng = np.random.RandomState(1)
+    # plane + object blob above it (mm scale, like the reference scenes)
+    plane = np.concatenate(
+        [rng.uniform(-100, 100, (3000, 2)), rng.randn(3000, 1) * 0.5], axis=1
+    )
+    blob = rng.randn(1500, 3) * 8 + np.array([0, 0, 30.0])
+    src = PointCloud(np.concatenate([plane, blob]))
+    bg = PointCloud(rng.uniform(-200, -150, (500, 3)))
+    param = {
+        "box": False,
+        "mesh": True,
+        "preprocess_source": {
+            "down_sample": 2.0,
+            "plane_removal": {"distance_threshold": 2.0, "num_iterations": 50},
+            "mesh": {"radius": 4.0, "number_of_iterations": 3, "number_of_points": 400},
+        },
+    }
+    out, _, _ = preprocess_source(src, bg, param, i=0)
+    assert len(out.points) > 0
+    assert out.normals is not None

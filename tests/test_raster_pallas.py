@@ -120,3 +120,93 @@ def test_raytrace_pallas_matches_xla():
     finite = np.isfinite(ref)
     assert (np.isfinite(got) == finite).all()
     np.testing.assert_allclose(got[finite], ref[finite], atol=1e-5)
+
+
+def sphere_mesh(n_lat=20, n_lon=32, r=0.05):
+    """Closed UV sphere: (n_lat*n_lon*2) triangles — large enough to trigger
+    the banded raster path (T >= 512)."""
+    lat = np.linspace(0, np.pi, n_lat + 1)
+    lon = np.linspace(0, 2 * np.pi, n_lon, endpoint=False)
+    verts = [(0, 0, r), (0, 0, -r)]
+    ring_start = []
+    for i in range(1, n_lat):
+        ring_start.append(len(verts))
+        for j in range(n_lon):
+            verts.append((r * np.sin(lat[i]) * np.cos(lon[j]),
+                          r * np.sin(lat[i]) * np.sin(lon[j]),
+                          r * np.cos(lat[i])))
+    faces = []
+    for j in range(n_lon):
+        faces.append([0, ring_start[0] + j, ring_start[0] + (j + 1) % n_lon])
+        faces.append([1, ring_start[-1] + (j + 1) % n_lon, ring_start[-1] + j])
+    for i in range(len(ring_start) - 1):
+        a, b = ring_start[i], ring_start[i + 1]
+        for j in range(n_lon):
+            j2 = (j + 1) % n_lon
+            faces.append([a + j, b + j, b + j2])
+            faces.append([a + j, b + j2, a + j2])
+    v = np.asarray(verts)
+    colors = (np.abs(v) / r * 255).clip(0, 255)
+    return mesh_io.TriMesh(v, np.asarray(faces), vertex_colors=colors)
+
+
+def test_banded_raster_matches_scan():
+    """Row-band binned pallas path (T>=512 triggers banding) vs XLA scan."""
+    mesh = sphere_mesh()
+    arrays = ras.make_mesh_arrays(mesh)
+    assert arrays.faces.shape[0] >= 512
+    K = np.array([[300.0, 0, 64], [0, 300.0, 48], [0, 0, 1]])
+    poses = np.tile(np.eye(4, dtype=np.float32)[None], (2, 1, 1))
+    poses[:, 2, 3] = [0.4, 0.55]
+    poses[1, :3, :3] = np.array(
+        [[0.936, -0.275, 0.218], [0.289, 0.957, -0.033], [-0.2, 0.094, 0.975]], dtype=np.float32
+    )
+    import functools
+
+    import sixdof_tpu.ops.pallas.raster_kernel as rk
+
+    H, W = 96, 128  # band_rows=8 -> TILE=1024 (aligned), 12 bands
+    orig = rk.rasterize_zbuffer_pallas
+    rk.rasterize_zbuffer_pallas = functools.partial(orig, interpret=True)
+    try:
+        out_b = ras.render_batch(arrays, jnp.asarray(poses), jnp.asarray(K, dtype=jnp.float32),
+                                 None, out_hw=(H, W), use_pallas=True, band_min_tris=512)
+    finally:
+        rk.rasterize_zbuffer_pallas = orig
+    out_x = ras.render_batch(arrays, jnp.asarray(poses), jnp.asarray(K, dtype=jnp.float32),
+                             None, out_hw=(H, W), use_pallas=False)
+    for b in range(2):
+        a_b = np.asarray(out_b["alpha"][b])
+        a_x = np.asarray(out_x["alpha"][b])
+        assert np.mean(a_b != a_x) < 0.005, f"pose {b}: alpha mismatch"
+        both = (a_b > 0) & (a_x > 0)
+        assert both.sum() > 200
+        np.testing.assert_allclose(np.asarray(out_b["depth"][b])[both],
+                                   np.asarray(out_x["depth"][b])[both], atol=1e-4)
+        np.testing.assert_allclose(np.asarray(out_b["color"][b])[both],
+                                   np.asarray(out_x["color"][b])[both], atol=1e-3)
+        np.testing.assert_allclose(np.asarray(out_b["xyz_map"][b])[both],
+                                   np.asarray(out_x["xyz_map"][b])[both], atol=1e-4)
+
+
+def test_backface_cull_identical_on_closed_mesh():
+    """Culling must not change the image of a watertight mesh (it only
+    removes always-occluded work)."""
+    mesh = sphere_mesh(n_lat=10, n_lon=16)
+    arrays = ras.make_mesh_arrays(mesh)
+    K = np.array([[300.0, 0, 64], [0, 300.0, 48], [0, 0, 1]])
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = [0.01, -0.01, 0.4]
+    a = ras.render_batch(arrays, jnp.asarray(pose[None]), jnp.asarray(K, dtype=jnp.float32),
+                         None, out_hw=(96, 128), use_pallas=False, backface_cull=False)
+    b = ras.render_batch(arrays, jnp.asarray(pose[None]), jnp.asarray(K, dtype=jnp.float32),
+                         None, out_hw=(96, 128), use_pallas=False, backface_cull=True)
+    # identical except a handful of grazing silhouette pixels where only a
+    # backface numerically covered the sample
+    da = np.asarray(a["alpha"]) != np.asarray(b["alpha"])
+    assert da.mean() < 1e-3, f"alpha changed on {da.mean():.2%} of pixels"
+    dd = np.abs(np.asarray(a["depth"]) - np.asarray(b["depth"]))
+    assert (dd > 1e-5).mean() < 1e-3
+    both = (np.asarray(a["alpha"]) > 0) & (np.asarray(b["alpha"]) > 0) & (dd <= 1e-5)
+    np.testing.assert_allclose(np.asarray(a["color"])[both], np.asarray(b["color"])[both],
+                               atol=1e-5)
