@@ -97,7 +97,15 @@ def preprocess_source(pcd: PointCloud, background: PointCloud, param, i=0):
     """
     params = param["preprocess_source"]
     down_sample = 5 if i > 0 else params["down_sample"]
-    background_d = pc.voxel_down_sample(background, voxel_size=down_sample * 2)
+    # the background (empty-scene) cloud is static across captures — cache its
+    # downsample per (cloud, voxel) instead of recomputing every event
+    cache = getattr(preprocess_source, "_bg_cache", None)
+    ck = (id(background), float(down_sample))
+    if cache is not None and cache[0] == ck:
+        background_d = cache[1]
+    else:
+        background_d = pc.voxel_down_sample(background, voxel_size=down_sample * 2)
+        preprocess_source._bg_cache = (ck, background_d)
     pcd_down = pc.voxel_down_sample(pcd, voxel_size=down_sample)
 
     plane_model, inliers = pc.segment_plane(
@@ -105,19 +113,26 @@ def preprocess_source(pcd: PointCloud, background: PointCloud, param, i=0):
         distance_threshold=params["plane_removal"]["distance_threshold"],
         num_iterations=params["plane_removal"]["num_iterations"],
     )
-    average_normal = np.array([1.0, 1.0, 1.0])
     if i == 0:
         pc.estimate_normals(pcd_down, radius=2, max_nn=5)
         average_normal = pc.compute_average_normal(pcd_down)
         logging.info(f":: Average Normal for Source = {average_normal}")
-
-    # Our normal estimation deterministically orients normals toward the
-    # camera; the reference relied on Open3D's *unoriented* normals averaging
-    # away from it.  To keep the reference's intent — retain the object side
-    # of the plane (toward the camera), drop the plane and what lies beyond —
-    # the plane normal must point along the viewing direction, i.e. opposite
-    # our camera-facing average normal.
-    plane_model, _ = pc.flip_plane_normal_if_needed(plane_model, -average_normal)
+        # Our normal estimation deterministically orients normals toward the
+        # camera; the reference relied on Open3D's *unoriented* normals
+        # averaging away from it.  To keep the reference's intent — retain the
+        # object side of the plane (toward the camera), drop the plane and
+        # what lies beyond — the plane normal must point along the viewing
+        # direction, i.e. opposite our camera-facing average normal.
+        plane_model, _ = pc.flip_plane_normal_if_needed(plane_model, -average_normal)
+    else:
+        # The reference's i>0 path flips against a [1,1,1] placeholder
+        # (src/pose_estimation.py:216-224) — whether the object side survives
+        # then depends on the RANSAC plane's arbitrary normal sign, and the
+        # losing sign silently discards the object, zeroing capture-time ICP
+        # fitness.  Orient geometrically instead: keep the side the camera
+        # (origin) is on, which is where the object stands on the plane.
+        if plane_model[3] > 0:
+            plane_model = [-v for v in plane_model]
     source_processed = pc.remove_points_below_plane(pcd_down, plane_model)
 
     if param.get("box"):

@@ -31,17 +31,22 @@ class FoundationPose:
     def __init__(self, model_pts, model_normals, symmetry_tfs=None, mesh: TriMesh = None,
                  scorer: ScorePredictor = None, refiner: PoseRefinePredictor = None,
                  glctx=None, debug=0, debug_dir="debug/fp", prune_to=None,
-                 device_mesh=None):
+                 device_mesh=None, coarse_hw=(96, 96)):
         """@prune_to: optional coarse-to-fine registration — after 2 refine
         iterations over the full rotation grid, keep only the prune_to
         best-scoring hypotheses for the remaining iterations (roughly halves
         registration FLOPs; not in the reference).
+        @coarse_hw: crop resolution for the full-grid coarse phase when
+        prune_to is set (the survivors refine at the cfg's full resolution).
+        Raster work scales with pixels, and the full-grid phase dominates
+        registration, so 96x96 cuts register latency ~2x; None disables.
         @device_mesh: optional jax.sharding.Mesh — register() shards the
         hypothesis axis over its `data` axis (SURVEY.md §2.3); refinement,
         scoring and rendering then run collective-free across chips."""
         self.gt_pose = None
         self.ignore_normal_flip = True
         self.prune_to = prune_to
+        self.coarse_hw = tuple(coarse_hw) if coarse_hw is not None else None
         self.device_mesh = device_mesh
         self.debug = debug
         self.debug_dir = debug_dir
@@ -173,10 +178,12 @@ class FoundationPose:
                 mesh=self.mesh, mesh_tensors=self.mesh_tensors, rgb=rgb, depth=depth,
                 K=K, ob_in_cams=poses, xyz_map=xyz_map, glctx=None,
                 mesh_diameter=self.diameter, iteration=2, get_vis=False,
+                out_hw=self.coarse_hw,
             )
             coarse_scores, _ = self.scorer.predict(
                 mesh=self.mesh, rgb=rgb, depth=depth, K=K, ob_in_cams=coarse,
                 mesh_tensors=self.mesh_tensors, glctx=None, mesh_diameter=self.diameter,
+                out_hw=self.coarse_hw,
             )
             keep = np.argsort(-np.asarray(coarse_scores)[:n_hypo])[: self.prune_to]
             poses = np.asarray(coarse)[keep]

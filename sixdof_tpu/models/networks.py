@@ -166,10 +166,16 @@ class RefineNet(nn.Module):
         self.trunk = ConvTrunk(self.c_in, dtype=self.dtype)
         self.pe = sinusoidal_position_embedding(400, 512)
         self.trans_encoder = TransformerEncoderLayer(512, 4, 512, dtype=self.dtype)
-        self.trans_linear = nn.Dense(3, dtype=jnp.float32)
+        # zero-init heads: the unnormalized trunk (use_BN=False) amplifies
+        # activations, so a random head starts tanh-saturated with huge
+        # gradient norms and training stalls; zero heads start at the loss
+        # basin (tanh(0)=0).  Converted/loaded checkpoints replace params
+        # wholesale, so inference fidelity is unaffected.
+        self.trans_linear = nn.Dense(3, dtype=jnp.float32, kernel_init=nn.initializers.zeros)
         rot_out = 3 if self.rot_rep == "axis_angle" else 6
         self.rot_encoder = TransformerEncoderLayer(512, 4, 512, dtype=self.dtype)
-        self.rot_linear = nn.Dense(rot_out, dtype=jnp.float32)
+        self.rot_linear = nn.Dense(rot_out, dtype=jnp.float32,
+                                   kernel_init=nn.initializers.zeros)
 
     def __call__(self, A, B):
         tokens = self.trunk(A, B)
@@ -190,7 +196,8 @@ class ScoreNetMultiPair(nn.Module):
         self.pe = sinusoidal_position_embedding(400, 512)
         self.att = MultiheadAttention(512, 4, dtype=self.dtype)
         self.att_cross = MultiheadAttention(512, 4, dtype=self.dtype)
-        self.linear = nn.Dense(1, dtype=jnp.float32)
+        # zero-init score head for the same trainability reason as RefineNet
+        self.linear = nn.Dense(1, dtype=jnp.float32, kernel_init=nn.initializers.zeros)
 
     def extract_feat(self, A, B):
         tokens = self.trunk(A, B)

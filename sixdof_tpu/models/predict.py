@@ -327,8 +327,14 @@ class PoseRefinePredictor(_PredictorBase):
 
     def predict(self, rgb, depth, K, ob_in_cams, xyz_map, normal_map=None, get_vis=False,
                 mesh=None, mesh_tensors: MeshArrays = None, glctx=None, mesh_diameter=None,
-                iteration=5):
-        """@rgb: (H,W,3) uint8/float; @ob_in_cams: (N,4,4); returns (poses, vis)."""
+                iteration=5, out_hw=None):
+        """@rgb: (H,W,3) uint8/float; @ob_in_cams: (N,4,4); returns (poses, vis).
+
+        @out_hw: optional crop-resolution override (defaults to the cfg's
+        input_resize).  The nets are fully convolutional with token-sliced
+        position embeddings, so coarse phases can run at lower resolution
+        (quadratically less raster work) — see estimater.py coarse_hw.
+        """
         rgb01 = jnp.asarray(np.asarray(rgb), dtype=jnp.float32)
         if float(np.asarray(rgb).max(initial=0.0)) > 1.5:
             rgb01 = rgb01 / 255.0
@@ -345,7 +351,7 @@ class PoseRefinePredictor(_PredictorBase):
             float(self.cfg["trans_normalizer"]),
             float(self.cfg["rot_normalizer"]),
             iterations=int(iteration),
-            out_hw=tuple(self.cfg["input_resize"]),
+            out_hw=tuple(out_hw) if out_hw is not None else tuple(self.cfg["input_resize"]),
             normalize_xyz=bool(self.cfg["normalize_xyz"]),
             trans_rep=self.cfg["trans_rep"],
             rot_rep=self.cfg["rot_rep"],
@@ -392,7 +398,8 @@ class ScorePredictor(_PredictorBase):
         )
 
     def predict(self, rgb, depth, K, ob_in_cams, normal_map=None, get_vis=False, mesh=None,
-                mesh_tensors: MeshArrays = None, glctx=None, mesh_diameter=None):
+                mesh_tensors: MeshArrays = None, glctx=None, mesh_diameter=None,
+                out_hw=None):
         rgb01 = jnp.asarray(np.asarray(rgb), dtype=jnp.float32)
         if float(np.asarray(rgb).max(initial=0.0)) > 1.5:
             rgb01 = rgb01 / 255.0
@@ -412,7 +419,7 @@ class ScorePredictor(_PredictorBase):
                 jnp.asarray(K, dtype=jnp.float32),
                 float(mesh_diameter),
                 float(self.cfg["crop_ratio"]),
-                out_hw=tuple(self.cfg["input_resize"]),
+                out_hw=tuple(out_hw) if out_hw is not None else tuple(self.cfg["input_resize"]),
                 normalize_xyz=bool(self.cfg["normalize_xyz"]),
                 mode=self.cfg.get("score_mode", "network"),
                 backface_cull=bool(self.cfg.get("backface_cull", False)),

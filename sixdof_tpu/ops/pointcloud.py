@@ -25,8 +25,13 @@ def voxel_down_sample(pcd: PointCloud, voxel_size: float) -> PointCloud:
     if len(pts) == 0:
         return pcd.copy()
     coords = np.floor(pts / voxel_size).astype(np.int64)
-    # lexicographic unique via structured view
-    _, inverse, counts = np.unique(coords, axis=0, return_inverse=True, return_counts=True)
+    # single scalar key per voxel: np.unique(axis=0) does a structured-dtype
+    # lexsort that costs ~200ms at 60k points; the flat int64 sort is ~5ms
+    cmin = coords.min(axis=0)
+    coords -= cmin
+    dims = coords.max(axis=0) + 1
+    key = (coords[:, 0] * dims[1] + coords[:, 1]) * dims[2] + coords[:, 2]
+    _, inverse, counts = np.unique(key, return_inverse=True, return_counts=True)
     n_vox = counts.shape[0]
 
     def reduce_mean(arr):
@@ -103,15 +108,12 @@ def segment_plane(pcd: PointCloud, distance_threshold, ransac_n=3, num_iteration
     ok = norm[:, 0] > 1e-12
     normal = normal / np.clip(norm, 1e-12, None)
     d = -np.einsum("ij,ij->i", normal, p0)
-    # inlier counts per trial, chunked over trials
-    best_cnt, best = -1, None
-    for t in range(num_iterations):
-        if not ok[t]:
-            continue
-        dist = np.abs(pts @ normal[t] + d[t])
-        cnt = int((dist < distance_threshold).sum())
-        if cnt > best_cnt:
-            best_cnt, best = cnt, t
+    # inlier counts for ALL trials in one (N, trials) pass — a python loop
+    # over trials costs ~30ms at 19k points, the matmul form ~5ms
+    dist = np.abs(pts @ normal.T + d[None, :])  # (N, trials)
+    cnt = (dist < distance_threshold).sum(axis=0)
+    cnt[~ok] = -1
+    best = int(np.argmax(cnt))
     plane = np.array([*normal[best], d[best]])
     inliers = np.where(np.abs(pts @ normal[best] + d[best]) < distance_threshold)[0]
     # least-squares refit on inliers (Open3D refines the plane)

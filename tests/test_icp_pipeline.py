@@ -166,3 +166,27 @@ def test_preprocess_source_mesh_branch_runs():
     out, _, _ = preprocess_source(src, bg, param, i=0)
     assert len(out.points) > 0
     assert out.normals is not None
+
+
+def test_preprocess_source_keeps_object_side_at_capture_time(rng):
+    """At i>0 (capture events) no average normal is computed; the plane-side
+    choice must still keep the OBJECT side regardless of the RANSAC plane's
+    arbitrary normal sign.  The reference's [1,1,1] placeholder flip
+    (src/pose_estimation.py:216-224) silently keeps the wrong side for half
+    the sign outcomes, zeroing capture-time ICP fitness; we orient the plane
+    by which side the camera (origin) is on instead."""
+    true_tf = euler_matrix(0.3, -0.2, 0.5)
+    true_tf[:3, 3] = [10.0, -20.0, 600.0]  # in front of the camera, like a scene
+    source, background = make_scene(rng, true_tf)
+    obj_center = true_tf[:3, 3]
+
+    for i in (1, 2):
+        out, _, _ = ip.preprocess_source(source, background, ICP_PARAMS, i=i)
+        assert len(out) > 20
+        center = out.points.mean(axis=0)
+        # the kept cloud must be the object (near its center), not the plane
+        assert np.linalg.norm(center - obj_center) < 60.0, (
+            f"capture-time preprocess kept the wrong plane side: center {center}"
+        )
+        extent = out.points.max(axis=0) - out.points.min(axis=0)
+        assert extent.max() < 150.0, f"kept cloud spans the scene plane: {extent}"
