@@ -52,11 +52,67 @@ def make_object_mesh(seed=0):
     return TriMesh(verts, f, vertex_colors=colors)
 
 
-def make_scene_plane(z=0.62, half=0.25):
-    v = np.array([[-half, -half, z], [half, -half, z], [half, half, z], [-half, half, z]])
-    f = np.array([[0, 1, 2], [0, 2, 3]])
-    colors = np.full((4, 3), 90.0)
-    return TriMesh(v, f, vertex_colors=colors)
+def make_scene_plane(z=0.62, half=0.25, textured=False, seed=0):
+    if not textured:
+        v = np.array([[-half, -half, z], [half, -half, z], [half, half, z], [-half, half, z]])
+        f = np.array([[0, 1, 2], [0, 2, 3]])
+        colors = np.full((4, 3), 90.0)
+        return TriMesh(v, f, vertex_colors=colors)
+    # textured plane: a vertex grid with noise colors (harder for the
+    # analytic color score and for mask-free registration)
+    n = 24
+    rng = np.random.RandomState(seed + 77)
+    xs = np.linspace(-half, half, n)
+    gx, gy = np.meshgrid(xs, xs)
+    v = np.stack([gx.ravel(), gy.ravel(), np.full(n * n, z)], axis=-1)
+    f = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            a = i * n + j
+            f.append([a, a + 1, a + n])
+            f.append([a + 1, a + n + 1, a + n])
+    base = 60 + 120 * rng.rand(n * n, 1)
+    tint = rng.rand(n * n, 3) * 60
+    colors = np.clip(base + tint, 0, 255)
+    return TriMesh(v, np.array(f), vertex_colors=colors)
+
+
+def make_target_part(seed=1):
+    """Second demo object: an asymmetric 'machined part' — flattened bumpy
+    ellipsoid body with a protruding lug, high-frequency texture.  Distinct
+    shape family and texture from make_object_mesh (the training object), so
+    cross-object evaluation is meaningful (VERDICT r1 item 4)."""
+    from sixdof_tpu.ops.hypotheses import icosphere
+
+    v, f = icosphere(subdivisions=3)
+    rng = np.random.RandomState(seed)
+    # body: strongly anisotropic, with a polar lug on +x
+    lug = np.exp(-((v[:, 0] - 1.0) ** 2 + v[:, 1] ** 2 + v[:, 2] ** 2) / 0.18) * 0.75
+    dirs = rng.randn(4, 3)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    bumps = 0.12 * np.cos(5 * (v @ dirs.T) + rng.rand(4) * 6.28).sum(axis=1) / 4
+    radii = np.array([0.055, 0.030, 0.018])
+    verts = v * (1.0 + bumps + lug)[:, None] * radii[None]
+    rings = np.sign(np.sin(22.0 * v[:, 2] + 4.0 * np.arctan2(v[:, 1], v[:, 0])))
+    patch = np.sign(np.sin(11.0 * v[:, 0]) * np.sin(9.0 * v[:, 1]))
+    r = 0.55 + 0.40 * rings
+    g = 0.45 + 0.35 * patch
+    b = 0.35 + 0.30 * rings * patch
+    colors = (np.stack([r, g, b], axis=-1) * 255).clip(0, 255)
+    return TriMesh(verts, f, vertex_colors=colors)
+
+
+def make_distractor(seed, radius=0.025):
+    """Small textured blob used as clutter / occluder."""
+    from sixdof_tpu.ops.hypotheses import icosphere
+
+    v, f = icosphere(subdivisions=2)
+    rng = np.random.RandomState(seed)
+    amp = 0.25 * rng.randn(len(v), 3).mean(axis=1)
+    verts = v * (1.0 + amp)[:, None] * radius
+    colors = (rng.rand(1, 3) * 0.5 + 0.25) * 255 * np.ones((len(v), 1))
+    return TriMesh(verts, f, vertex_colors=np.tile(colors.mean(axis=-1, keepdims=True), (1, 3))
+                   + rng.rand(len(v), 3) * 60)
 
 
 def merge(a: TriMesh, b: TriMesh) -> TriMesh:
@@ -67,7 +123,10 @@ def merge(a: TriMesh, b: TriMesh) -> TriMesh:
     )
 
 
-def main(out_dir="demo_data/synth_box", n_frames=6, H=480, W=640, seed=0):
+def main(out_dir="demo_data/synth_box", n_frames=6, H=480, W=640, seed=0, variant="box"):
+    """@variant: 'box' = the original single-object scene; 'clutter' = the
+    harder second scene (different target object, textured plane, three
+    distractor fixtures, one of them partially occluding the target)."""
     rng = np.random.RandomState(seed)
     os.makedirs(out_dir, exist_ok=True)
     for sub in ["rgb", "depth", "pcd", "masks", "mesh", "background", "heatmap", "configs",
@@ -76,8 +135,23 @@ def main(out_dir="demo_data/synth_box", n_frames=6, H=480, W=640, seed=0):
 
     K = np.array([[600.0, 0, W / 2], [0, 600.0, H / 2], [0, 0, 1]])
 
-    obj = make_object_mesh(seed)
-    plane = make_scene_plane()
+    if variant == "clutter":
+        obj = make_target_part(seed + 1)
+        plane = make_scene_plane(textured=True, seed=seed)
+        # static fixtures on the plane: two beside the target and ONE between
+        # the camera and the target partially occluding it
+        fixtures = []
+        for k, (cx, cy, cz) in enumerate([(0.09, -0.05, 0.60), (-0.10, 0.06, 0.595),
+                                          (0.045, -0.012, 0.47)]):
+            d = make_distractor(seed + 10 + k, radius=0.028 if k == 2 else 0.032)
+            d.vertices = d.vertices + np.array([[cx, cy, cz]])
+            fixtures.append(d)
+        statics = plane
+        for d in fixtures:
+            statics = merge(statics, d)
+    else:
+        obj = make_object_mesh(seed)
+        statics = make_scene_plane()
 
     # object pose in the color camera (meters)
     base_pose = euler_matrix(0.4, 0.2, 0.3)
@@ -132,11 +206,17 @@ def main(out_dir="demo_data/synth_box", n_frames=6, H=480, W=640, seed=0):
     model_pcd = obj_mm.sample_points(20000, seed=1)
     save_point_cloud(f"{out_dir}/mesh/model.ply", model_pcd)
 
-    # background: the plane cloud in mm (depth frame)
-    plane_pts = np.concatenate(
-        [(rng.rand(20000, 2) - 0.5) * 0.5, np.full((20000, 1), 0.62)], axis=-1
-    )
-    save_point_cloud(f"{out_dir}/background/box.ply", PointCloud(plane_pts * 1000.0))
+    # background: the empty-scene cloud in mm (depth frame) — plane plus any
+    # static fixtures, exactly what a pre-capture of the scene without the
+    # target would contain (reference background/box.ply contract)
+    if variant == "clutter":
+        bg_pcd = statics.sample_points(24000, seed=2)
+        bg_pts = bg_pcd.points
+    else:
+        bg_pts = np.concatenate(
+            [(rng.rand(20000, 2) - 0.5) * 0.5, np.full((20000, 1), 0.62)], axis=-1
+        )
+    save_point_cloud(f"{out_dir}/background/box.ply", PointCloud(bg_pts * 1000.0))
 
     # heatmap: gaussian blob, square array (contract: square, centered on color)
     hm_size = 480
@@ -155,7 +235,7 @@ def main(out_dir="demo_data/synth_box", n_frames=6, H=480, W=640, seed=0):
     import cv2
 
     arrays_scene_obj = make_mesh_arrays(obj)
-    arrays_plane = make_mesh_arrays(plane)
+    arrays_plane = make_mesh_arrays(statics)
 
     poses = []
     for i in range(n_frames):
@@ -205,4 +285,5 @@ def main(out_dir="demo_data/synth_box", n_frames=6, H=480, W=640, seed=0):
 if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "demo_data/synth_box"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 6
-    main(out, n)
+    variant = sys.argv[3] if len(sys.argv) > 3 else ("clutter" if "clutter" in out else "box")
+    main(out, n, variant=variant)

@@ -126,4 +126,17 @@ def main(scene_dir, n_frames=None):
 if __name__ == "__main__":
     scene = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "demo_data", "synth_box")
     nf = int(sys.argv[2]) if len(sys.argv) > 2 else None
-    main(scene, nf)
+    if scene == "all":
+        # every demo scene; the clutter scene evaluates box-trained weights on
+        # a DIFFERENT object under occlusion (VERDICT r1 item 4)
+        results = {}
+        for name in ("synth_box", "synth_clutter"):
+            d = os.path.join(REPO, "demo_data", name)
+            if os.path.exists(d):
+                print(f"== {name} ==")
+                results[name] = main(d, nf)
+        print(json.dumps({k: {m: v[m] for m in ("adds_mean_m", "adds_auc_0.1d",
+                                                "icp_adds_mm", "defect_surface_median_dist_mm")}
+                          for k, v in results.items()}, indent=1))
+    else:
+        main(scene, nf)
