@@ -114,18 +114,32 @@ def main():
     _, icp_result, _, target_processed = refine_pose_with_icp(
         source, reader.target, reader.background, init_tf.copy(), reader.parameters
     )
-    timings["icp_full_s"] = time.perf_counter() - t0
+    timings["icp_full_first_s"] = time.perf_counter() - t0  # includes compile
+    t0 = time.perf_counter()
+    _, icp_result, _, target_processed = refine_pose_with_icp(
+        source, reader.target, reader.background, init_tf.copy(), reader.parameters
+    )
+    timings["icp_full_s"] = time.perf_counter() - t0  # warm
 
     target_mesh_copy = reader.target_mesh.copy()
     target_mesh_copy.transform(np.linalg.inv(icp_result.transformation))
     t0 = time.perf_counter()
     pcd, _ = ray_tracing(reader.base_dir, target_mesh_copy, heatmap, reader.color_pinhole, 0.75)
-    timings["raytrace_s"] = time.perf_counter() - t0
+    timings["raytrace_first_s"] = time.perf_counter() - t0  # includes compile
+    t0 = time.perf_counter()
+    ray_tracing(reader.base_dir, target_mesh_copy, heatmap, reader.color_pinhole, 0.75)
+    timings["raytrace_s"] = time.perf_counter() - t0  # warm
 
-    # ---- warm tracking + capture path ----
+    # ---- warm tracking + capture path (all shapes the loop will see, so the
+    # measured loop is compile-free steady state) ----
     est.track_one(rgb=color, depth=depth, K=reader.color_K, iteration=2)
-    src_proc, _, _ = preprocess_source(source, reader.background, reader.parameters, i=1)
-    improve_result(src_proc, target_processed, init_tf.copy(), reader.parameters)
+    for wf in (1, 2):
+        s = reader.get_source(wf)
+        sp, _, _ = preprocess_source(s, reader.background, reader.parameters, i=wf)
+        r = improve_result(sp, target_processed, init_tf.copy(), reader.parameters)
+        tm = reader.target_mesh.copy()
+        tm.transform(np.linalg.inv(r.transformation))
+        ray_tracing(reader.base_dir, tm, heatmap, reader.color_pinhole, 0.75)
 
     # ---- steady-state loop (reference semantics): track + dead reckoning;
     # ICP+defect capture is a user-triggered event (reference run.py:142-145),
@@ -145,7 +159,7 @@ def main():
 
     # capture event: preprocess + batched-restart ICP + defect ray trace
     t0 = time.perf_counter()
-    n_cap = 3
+    n_cap = 4
     for i in range(n_cap):
         fi = 1 + (i % (n - 1))
         s = reader.get_source(fi)
@@ -160,19 +174,26 @@ def main():
     import jax
 
     out = {
-        "metric": "e2e_fps_pose_icp_defect",
-        "value": round(fps, 3),
+        # HEADLINE: the all-in steady state — tracking with an ICP + defect
+        # capture every CAPTURE_EVERY frames (the honest "pose + ICP + defect
+        # projection" number; captures are user events in the reference
+        # run.py:142-145 but they ARE the product, so they are in the metric)
+        "metric": "e2e_fps_track_with_capture_every_10",
+        "value": round(fps_with_captures, 3),
         "unit": "fps",
-        "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "vs_baseline": round(fps_with_captures / BASELINE_FPS, 3),
         "device": str(jax.devices()[0]),
-        "register_s": round(timings["register_s"], 3),
-        "icp_full_s": round(timings["icp_full_s"], 3),
-        "raytrace_s": round(timings["raytrace_s"], 3),
         "track_only_fps": round(timings["track_fps"], 2),
         "capture_event_s": round(capture_s, 3),
-        "fps_with_capture_every_10": round(fps_with_captures, 3),
+        "register_s": round(timings["register_s"], 3),
+        "register_first_s": round(timings["register_first_s"], 3),  # incl. compile
+        "icp_full_s": round(timings["icp_full_s"], 3),
+        "icp_full_first_s": round(timings["icp_full_first_s"], 3),  # incl. compile
+        "raytrace_s": round(timings["raytrace_s"], 3),
+        "raytrace_first_s": round(timings["raytrace_first_s"], 3),  # incl. compile
         "n_hypotheses": int(len(est.rot_grid)),
         "prune_to": 64,
+        "coarse_hw": 96,
         "adds_m": round(float(add_s), 5),
         "add_m": round(float(add_v), 5),
         "trained_weights": os.path.exists(rckpt),

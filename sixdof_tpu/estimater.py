@@ -171,6 +171,41 @@ class FoundationPose:
             poses, n_hypo = shard_hypotheses(jnp.asarray(poses, dtype=jnp.float32),
                                              self.device_mesh)
 
+        if self.device_mesh is None and self.debug < 2:
+            # fused register: the whole coarse->prune->refine->score cascade
+            # is ONE jitted dispatch (models/predict.py::register_pipeline_jit)
+            # — one host round trip instead of ~6 (tunnel latency dominates
+            # multi-stage host orchestration on remote TPU)
+            from .models.predict import register_pipeline_jit
+
+            ref, sc = self.refiner, self.scorer
+            rgb01 = jnp.asarray(np.asarray(rgb), dtype=jnp.float32)
+            if float(np.asarray(rgb).max(initial=0.0)) > 1.5:
+                rgb01 = rgb01 / 255.0
+            poses_sorted, scores_sorted = register_pipeline_jit(
+                ref.model, ref.params, sc.model, sc.params, self.mesh_tensors,
+                jnp.asarray(poses, dtype=jnp.float32), rgb01, depth,
+                jnp.asarray(K, dtype=jnp.float32), float(self.diameter),
+                float(ref.cfg["crop_ratio"]), float(ref.cfg["trans_normalizer"]),
+                float(ref.cfg["rot_normalizer"]),
+                prune_to=int(self.prune_to) if self.prune_to else 0,
+                coarse_iters=2, iterations=int(iteration),
+                out_hw=tuple(ref.cfg["input_resize"]), coarse_hw=self.coarse_hw,
+                normalize_xyz=bool(ref.cfg["normalize_xyz"]),
+                trans_rep=ref.cfg["trans_rep"], rot_rep=ref.cfg["rot_rep"],
+                score_mode=sc.cfg.get("score_mode", "hybrid"),
+                backface_cull=bool(ref.cfg.get("backface_cull", False)),
+            )
+            poses_np = np.asarray(poses_sorted)
+            scores_np = np.asarray(scores_sorted)
+            logging.info(f"sorted scores (top5): {scores_np[:5]}")
+            best_pose = poses_np[0] @ self.get_tf_to_centered_mesh()
+            self.pose_last = poses_np[0]
+            self.best_id = 0
+            self.poses = poses_np
+            self.scores = scores_np
+            return best_pose
+
         xyz_map = depth2xyzmap(depth, jnp.asarray(K, dtype=jnp.float32))
         if self.prune_to and self.prune_to < len(poses) and iteration > 2:
             # coarse-to-fine: 2 iterations on the full grid, score, keep top-K

@@ -236,7 +236,28 @@ def load_obj(path):
 
 
 def save_obj(path, mesh: TriMesh):
+    textured = mesh.uv is not None and mesh.texture is not None
     with open(path, "w") as f:
+        if textured:
+            # sidecar .mtl + texture image (the OBJ texture contract the
+            # reference's make_mesh_tensors consumes, Utils.py:104-130)
+            base = os.path.splitext(path)[0]
+            name = os.path.basename(base)
+            tex_name = f"{name}_tex.png"
+            try:
+                from PIL import Image
+
+                Image.fromarray(np.asarray(mesh.texture, dtype=np.uint8)).save(
+                    os.path.join(os.path.dirname(path) or ".", tex_name)
+                )
+            except ImportError:
+                import cv2
+
+                cv2.imwrite(os.path.join(os.path.dirname(path) or ".", tex_name),
+                            np.asarray(mesh.texture, dtype=np.uint8)[..., ::-1])
+            with open(f"{base}.mtl", "w") as mf:
+                mf.write(f"newmtl material_0\nmap_Kd {tex_name}\n")
+            f.write(f"mtllib {name}.mtl\nusemtl material_0\n")
         if mesh.vertex_colors is not None:
             vc = np.asarray(mesh.vertex_colors, dtype=np.float64)
             if vc.max() > 1:
@@ -246,8 +267,17 @@ def save_obj(path, mesh: TriMesh):
         else:
             for v in mesh.vertices:
                 f.write(f"v {v[0]} {v[1]} {v[2]}\n")
-        for face in mesh.faces:
-            f.write(f"f {face[0]+1} {face[1]+1} {face[2]+1}\n")
+        if textured:
+            for uv in mesh.uv:
+                f.write(f"vt {uv[0]} {uv[1]}\n")
+            for face in mesh.faces:
+                f.write(
+                    f"f {face[0]+1}/{face[0]+1} {face[1]+1}/{face[1]+1} "
+                    f"{face[2]+1}/{face[2]+1}\n"
+                )
+        else:
+            for face in mesh.faces:
+                f.write(f"f {face[0]+1} {face[1]+1} {face[2]+1}\n")
 
 
 # --------------------------------------------------------------------- PLY --

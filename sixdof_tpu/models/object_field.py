@@ -546,6 +546,103 @@ class ObjectFieldRunner:
         mesh.vertex_colors = np.asarray(rgb) * 255.0
         return mesh
 
+    def bake_texture(self, mesh, cell=16, frame_id=0, chunk=1 << 16):
+        """Per-face UV atlas texture bake from the fitted field.
+
+        Produces what the reference's mesh_texture_from_train_images intended
+        (nerf_runner.py:1121-1232 — broken in-snapshot: it imports a missing
+        `offscreen_renderer` at :1133): a textured mesh with a real texture
+        IMAGE, not just vertex colors.  Instead of reprojecting training
+        images, each texel maps by fixed barycentric layout to a surface point
+        whose color the fitted field supplies — no rasterizer needed and no
+        view-selection heuristics (the field already fused all views).
+
+        Each triangle gets one cell of a square atlas; texel (x,y) of a cell
+        maps affinely to barycentrics, clamped onto the triangle so edge
+        texels bleed the rim color (bilinear-safe).  Returns a NEW TriMesh
+        with per-corner UVs (vertices duplicated per face) and a (S,S,3)
+        uint8 texture; the input mesh must be in the NORMALIZED field frame
+        (bake before mesh_to_real_world).
+        """
+        from ..io.mesh_io import TriMesh
+
+        faces = np.asarray(mesh.faces)
+        T = len(faces)
+        if T == 0:
+            return mesh
+        C = int(np.ceil(np.sqrt(T)))
+        S = C * cell
+        margin = 1.0
+
+        # local texel -> barycentric (affine; clamp onto the triangle)
+        xs = (np.arange(cell) + 0.5 - margin) / (cell - 2 * margin)
+        l1 = np.tile(xs[None, :], (cell, 1))  # along +x
+        l2 = np.tile(xs[:, None], (1, cell))  # along +y
+        l1 = np.clip(l1, 0.0, 1.0)
+        l2 = np.clip(l2, 0.0, 1.0)
+        over = l1 + l2
+        scale = np.where(over > 1.0, 1.0 / np.maximum(over, 1e-9), 1.0)
+        l1, l2 = l1 * scale, l2 * scale
+        l0 = 1.0 - l1 - l2  # (cell,cell)
+
+        tri = np.asarray(mesh.vertices)[faces]  # (T,3,3)
+        pts = (
+            l0[None, ..., None] * tri[:, None, None, 0]
+            + l1[None, ..., None] * tri[:, None, None, 1]
+            + l2[None, ..., None] * tri[:, None, None, 2]
+        ).reshape(-1, 3)  # (T*cell*cell, 3)
+
+        # face normals as view dirs + the frame's latent, chunked field query
+        n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+        n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+        dirs = np.repeat(n, cell * cell, axis=0)
+        ff_row = np.asarray(self.params.frame_features[frame_id])
+        rgb = np.empty((len(pts), 3), dtype=np.float32)
+
+        def q(p, d):
+            sdf, geo = field_sdf(self.params, p, self.spec)
+            ff = jnp.tile(jnp.asarray(ff_row)[None], (p.shape[0], 1))
+            return jax.nn.sigmoid(field_color(self.params, geo, d, ff, self.cfg.sh_degree))
+
+        qj = jax.jit(q)
+        for i in range(0, len(pts), chunk):
+            end = min(i + chunk, len(pts))
+            pb = np.zeros((chunk, 3), dtype=np.float32)
+            db = np.zeros((chunk, 3), dtype=np.float32)
+            pb[: end - i] = pts[i:end]
+            db[: end - i] = dirs[i:end]
+            rgb[i:end] = np.asarray(qj(jnp.asarray(pb), jnp.asarray(db)))[: end - i]
+
+        # scatter cells into the atlas (pad the face range to the full grid)
+        tex = np.zeros((C * C, cell, cell, 3), dtype=np.float32)
+        tex[:T] = rgb.reshape(T, cell, cell, 3)
+        tex = (
+            tex.reshape(C, C, cell, cell, 3).transpose(0, 2, 1, 3, 4).reshape(S, S, 3)
+        )
+        tex_u8 = (np.clip(tex, 0.0, 1.0) * 255).astype(np.uint8)
+
+        # per-corner UVs (OBJ convention: v from the bottom; atlas row 0 = top)
+        cols = np.arange(T) % C
+        rows = np.arange(T) // C
+        x0 = cols * cell + margin - 0.5
+        y0 = rows * cell + margin - 0.5
+        span = cell - 2 * margin
+        corners = np.stack(
+            [
+                np.stack([x0, y0], -1),           # l0 corner
+                np.stack([x0 + span, y0], -1),    # l1 corner
+                np.stack([x0, y0 + span], -1),    # l2 corner
+            ],
+            axis=1,
+        )  # (T,3,2) in texel coords
+        uv = np.empty((T, 3, 2))
+        uv[..., 0] = (corners[..., 0] + 0.5) / S
+        uv[..., 1] = 1.0 - (corners[..., 1] + 0.5) / S
+
+        new_verts = tri.reshape(-1, 3)
+        new_faces = np.arange(3 * T, dtype=np.int64).reshape(T, 3)
+        return TriMesh(new_verts, new_faces, uv=uv.reshape(-1, 2), texture=tex_u8)
+
     def mesh_to_real_world(self, mesh):
         """(nerf_helpers.py:215-221)"""
         mesh.vertices = mesh.vertices / self.sc_factor - np.asarray(self.translation).reshape(1, 3)

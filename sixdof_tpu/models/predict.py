@@ -237,6 +237,59 @@ def score_poses_jit(
     return score
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("rmodel", "smodel", "prune_to", "coarse_iters", "iterations",
+                     "out_hw", "coarse_hw", "normalize_xyz", "trans_rep", "rot_rep",
+                     "score_mode", "backface_cull"),
+)
+def register_pipeline_jit(
+    rmodel, rparams, smodel, sparams, mesh: MeshArrays, poses, rgb01, depth, K,
+    mesh_diameter, crop_ratio, trans_normalizer, rot_normalizer,
+    prune_to, coarse_iters, iterations, out_hw=(160, 160), coarse_hw=None,
+    normalize_xyz=False, trans_rep="tracknet", rot_rep="axis_angle",
+    score_mode="hybrid", backface_cull=False,
+):
+    """The ENTIRE registration cascade as one device program: coarse refine
+    over the full grid -> score -> top-K prune -> full-resolution refine ->
+    score -> sort.  One host round trip for the whole thing (the staged path
+    pays ~6 transfers; each costs ~45ms tunnel latency — see estimater.py).
+
+    @depth: already-filtered depth (the host needs it for guess_translation
+    and the degenerate-mask fallback, so filtering stays a separate step).
+    Returns (sorted_poses (K,4,4), sorted_scores (K,)).
+    """
+    from ..ops.geometry import depth2xyzmap
+
+    xyz_map = depth2xyzmap(depth, K)
+    n = poses.shape[0]
+
+    def refine(p, iters, hw):
+        return refine_poses_jit(
+            rmodel, rparams, mesh, p, rgb01, xyz_map, K, mesh_diameter, crop_ratio,
+            trans_normalizer, rot_normalizer, iters, hw, normalize_xyz,
+            trans_rep, rot_rep, backface_cull,
+        )
+
+    def score(p, hw):
+        return score_poses_jit(
+            smodel, sparams, mesh, p, rgb01, xyz_map, K, mesh_diameter, crop_ratio,
+            hw, normalize_xyz, score_mode, backface_cull,
+        )
+
+    if prune_to and prune_to < n and iterations > coarse_iters:
+        chw = coarse_hw or out_hw
+        poses = refine(poses, coarse_iters, chw)
+        coarse_scores = score(poses, chw)
+        _, keep = jax.lax.top_k(coarse_scores, prune_to)
+        poses = poses[keep]
+        iterations = iterations - coarse_iters
+    poses = refine(poses, iterations, out_hw)
+    scores = score(poses, out_hw)
+    order = jnp.argsort(-scores)
+    return poses[order], scores[order]
+
+
 def pack_rgbd(rgb_u8, depth_u16):
     """(H,W,3) uint8 + (H,W) uint16-mm -> one (H,W,5) uint8 buffer.
 

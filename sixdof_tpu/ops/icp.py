@@ -171,3 +171,22 @@ def icp_one_iter_batch(src, src_mask, tgt, tgt_normals, tgt_mask, init_tfs, max_
         src, src_mask, tgt, tgt_normals, tgt_mask, tf, max_dist, max_iter=1
     )
     return jax.vmap(fn)(init_tfs)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def icp_batch_with_eval(src, src_mask, tgt, tgt_normals, tgt_mask, init_tfs, max_dists,
+                        eval_tf, eval_dist, max_iter=30):
+    """icp_batch + a single-transform evaluation in ONE dispatch.
+
+    improve_result needs both the refined restarts and the fitness of the
+    unrefined initial transform (reference src/pose_estimation.py:564-569);
+    issuing them as separate jitted calls costs an extra host->device round
+    trip (~45ms over the remote-TPU tunnel), so they are fused here.
+    """
+    res = jax.vmap(
+        lambda tf, md: icp_point_to_plane(
+            src, src_mask, tgt, tgt_normals, tgt_mask, tf, md, max_iter=max_iter
+        )
+    )(init_tfs, max_dists)
+    f0, r0 = evaluate_registration(src, src_mask, tgt, tgt_mask, eval_tf, eval_dist)
+    return res, f0, r0

@@ -127,3 +127,92 @@ def test_occupancy_grid_query_and_spans():
     near, far = grid.ray_near_far(o, dd)
     assert 0.3 < float(near[0]) < 0.6
     assert 1.4 < float(far[0]) < 1.7
+
+
+def _tiny_runner(n_step=5):
+    """Minimal 2-view runner over a flat depth patch (fast to construct)."""
+    R = 24
+    K = np.array([[30.0, 0, 12], [0, 30.0, 12], [0, 0, 1]])
+    rgbs, depths, masks, cam_in_obs = [], [], [], []
+    for k in range(2):
+        depth = np.full((R, R), 0.3)
+        mask = np.ones((R, R), np.uint8)
+        rgb = np.full((R, R, 3), 120, np.uint8)
+        pose = np.eye(4)
+        pose[2, 3] = -0.3 + 0.02 * k
+        rgbs.append(rgb); depths.append(depth); masks.append(mask); cam_in_obs.append(pose)
+    cfg = of.ObjectFieldConfig(n_step=n_step, n_rand=128, n_samples=8,
+                               n_samples_around_depth=8, lrate=0.01)
+    return of.ObjectFieldRunner(cfg, K, np.stack(rgbs), np.stack(depths),
+                                np.stack(masks), np.stack(cam_in_obs),
+                                spec=of.HashGridSpec(n_levels=4, base_res=4,
+                                                     finest_res=16,
+                                                     log2_hashmap_size=10))
+
+
+def test_save_load_roundtrip(tmp_path):
+    """Checkpoint/resume: params survive orbax save+restore bit-for-bit and a
+    restored runner keeps training (reference save_weights semantics,
+    nerf_runner.py:393-421)."""
+    r1 = _tiny_runner()
+    r1.train(3, log_every=0)
+    path = str(tmp_path / "field_ckpt")
+    r1.save_weights(path)
+
+    r2 = _tiny_runner()
+    r2.load_weights(path)
+    assert r2.global_step == r1.global_step
+    np.testing.assert_array_equal(np.asarray(r2.params.table), np.asarray(r1.params.table))
+    for a, b in zip(jax.tree.leaves(r1.params), jax.tree.leaves(r2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # resumed runner can keep training
+    losses = r2.train(2, log_every=0)
+    assert np.isfinite(losses).all()
+
+
+def test_bake_texture_atlas():
+    """UV texture bake: per-face atlas where each texel's color equals the
+    field color at its barycentric surface point (the reference's intended-
+    but-broken mesh_texture_from_train_images output, nerf_runner.py:1121)."""
+    from sixdof_tpu.io.mesh_io import TriMesh, load_mesh, save_mesh
+
+    r = _tiny_runner(n_step=2)
+    r.train(2, log_every=0)
+    # a small octahedron in the normalized frame
+    v = np.array([[0.3, 0, 0], [-0.3, 0, 0], [0, 0.3, 0], [0, -0.3, 0],
+                  [0, 0, 0.3], [0, 0, -0.3]])
+    f = np.array([[0, 2, 4], [2, 1, 4], [1, 3, 4], [3, 0, 4],
+                  [2, 0, 5], [1, 2, 5], [3, 1, 5], [0, 3, 5]])
+    mesh = TriMesh(v, f)
+    baked = r.bake_texture(mesh, cell=8)
+
+    T = len(f)
+    assert baked.texture is not None and baked.uv is not None
+    assert len(baked.vertices) == 3 * T and len(baked.faces) == T
+    assert baked.uv.min() >= 0.0 and baked.uv.max() <= 1.0
+    S = baked.texture.shape[0]
+    assert baked.texture.shape == (S, S, 3)
+
+    # texel under corner-0's uv matches the field color at vertex 0 of face 0
+    import jax.nn
+    import jax.numpy as jnp
+
+    u0, v0 = baked.uv[0]
+    x = int(round(u0 * S - 0.5)); y = int(round((1.0 - v0) * S - 0.5))
+    texel = baked.texture[y, x].astype(np.float64)
+    sdf, geo = of.field_sdf(r.params, jnp.asarray(v[f[0, 0]][None], dtype=jnp.float32), r.spec)
+    n0 = np.cross(v[f[0, 1]] - v[f[0, 0]], v[f[0, 2]] - v[f[0, 0]])
+    n0 = n0 / np.linalg.norm(n0)
+    ff = r.params.frame_features[0][None]
+    expect = np.asarray(jax.nn.sigmoid(of.field_color(
+        r.params, geo, jnp.asarray(n0[None], dtype=jnp.float32), ff, r.cfg.sh_degree))) * 255
+    assert np.abs(texel - expect[0]).max() < 3.0
+
+    # textured OBJ round-trips with uv + texture image
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "baked.obj")
+        save_mesh(p, baked)
+        back = load_mesh(p)
+        assert back.texture is not None
+        assert back.uv is not None
