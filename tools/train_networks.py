@@ -22,7 +22,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def main(scene_dir, refiner_steps=800, scorer_steps=400, out_dir=None):
+def main(scene_dirs, refiner_steps=800, scorer_steps=400, out_dir=None):
+    """@scene_dirs: one scene dir or a list — with several, training
+    round-robins the objects each step with SHARED params/optimizer (the
+    reference's published weights are object-agnostic; multi-object batches
+    are how the nets learn shape-generic render-and-compare features)."""
+    import jax
+
     from sixdof_tpu.io.mesh_io import load_mesh
     from sixdof_tpu.models.networks import RefineNet, ScoreNetMultiPair
     from sixdof_tpu.ops.geometry import compute_mesh_diameter
@@ -33,40 +39,62 @@ def main(scene_dir, refiner_steps=800, scorer_steps=400, out_dir=None):
     from sixdof_tpu.utils import set_logging_format
 
     set_logging_format()
+    if isinstance(scene_dirs, str):
+        scene_dirs = [scene_dirs]
     out_dir = out_dir or os.path.join(REPO, "weights")
     os.makedirs(out_dir, exist_ok=True)
 
-    mesh = load_mesh(os.path.join(scene_dir, "mesh", "model_scaled_down.obj"))
-    # train on the CENTERED mesh — estimater.reset_object centers it and all
-    # inference renders use the centered geometry
-    center = (mesh.vertices.min(axis=0) + mesh.vertices.max(axis=0)) / 2
-    mesh.vertices = mesh.vertices - center
-    arrays = make_mesh_arrays(mesh)
-    diameter = compute_mesh_diameter(mesh.vertices, n_sample=10000)
-
-    with open(os.path.join(scene_dir, "configs", "camera_intrinsics.json")) as f:
-        intr = json.load(f)["color"]
-    K = np.array([[intr["fx"], 0, intr["cx"]], [0, intr["fy"], intr["cy"]], [0, 0, 1]])
+    objects = []
+    for scene_dir in scene_dirs:
+        mesh = load_mesh(os.path.join(scene_dir, "mesh", "model_scaled_down.obj"))
+        # train on the CENTERED mesh — estimater.reset_object centers it and
+        # all inference renders use the centered geometry
+        center = (mesh.vertices.min(axis=0) + mesh.vertices.max(axis=0)) / 2
+        mesh.vertices = mesh.vertices - center
+        arrays = make_mesh_arrays(mesh)
+        diameter = compute_mesh_diameter(mesh.vertices, n_sample=10000)
+        with open(os.path.join(scene_dir, "configs", "camera_intrinsics.json")) as f:
+            intr = json.load(f)["color"]
+        K = np.array([[intr["fx"], 0, intr["cx"]], [0, intr["fy"], intr["cy"]], [0, 0, 1]])
+        objects.append((arrays, K, diameter))
+        logging.info(f"object {os.path.basename(scene_dir)}: diameter {diameter:.3f}")
 
     cfg = TrainConfig(batch_size=32, input_hw=(160, 160), lr=1e-4,
                       z_range=(0.4, 0.8))
 
-    logging.info(f"training refiner for {refiner_steps} steps (diameter {diameter:.3f})")
-    rt = RefinerTrainer(RefineNet(c_in=6), arrays, K, diameter, cfg)
-    t0 = time.time()
-    losses = rt.train(refiner_steps, log_every=50)
-    logging.info(f"refiner: {losses[0]:.4f} -> {losses[-1]:.4f} "
-                 f"({(time.time()-t0)/max(len(losses),1):.2f}s/step)")
-    save_params(os.path.join(out_dir, "refiner"), rt.params)
+    def train_shared(trainers, n_steps, tag):
+        """Round-robin the per-object jitted steps over shared params."""
+        params, opt = trainers[0].params, trainers[0].opt_state
+        key = jax.random.PRNGKey(0)
+        losses = []
+        t0 = time.time()
+        for i in range(n_steps):
+            key, sub = jax.random.split(key)
+            t = trainers[i % len(trainers)]
+            params, opt, loss = t._step(params, opt, sub)
+            losses.append(float(loss))
+            if i % 50 == 0:
+                logging.info(f"{tag} step {i}: loss {losses[-1]:.5f}")
+        logging.info(f"{tag}: {losses[0]:.4f} -> {losses[-1]:.4f} "
+                     f"({(time.time()-t0)/max(len(losses),1):.2f}s/step)")
+        return params
+
+    logging.info(f"training refiner for {refiner_steps} steps on {len(objects)} object(s)")
+    rmodel = RefineNet(c_in=6)
+    rts = [RefinerTrainer(rmodel, a, K, d, cfg) for a, K, d in objects]
+    for t in rts[1:]:
+        t.params, t.opt_state = rts[0].params, rts[0].opt_state
+    save_params(os.path.join(out_dir, "refiner"),
+                train_shared(rts, refiner_steps, "refiner"))
 
     logging.info(f"training scorer for {scorer_steps} steps")
     scfg = cfg._replace(n_hypotheses=12, lr=3e-4)
-    st = ScorerTrainer(ScoreNetMultiPair(c_in=6), arrays, K, diameter, scfg)
-    t0 = time.time()
-    losses = st.train(scorer_steps, log_every=50)
-    logging.info(f"scorer: {losses[0]:.4f} -> {losses[-1]:.4f} "
-                 f"({(time.time()-t0)/max(len(losses),1):.2f}s/step)")
-    save_params(os.path.join(out_dir, "scorer"), st.params)
+    smodel = ScoreNetMultiPair(c_in=6)
+    sts = [ScorerTrainer(smodel, a, K, d, scfg) for a, K, d in objects]
+    for t in sts[1:]:
+        t.params, t.opt_state = sts[0].params, sts[0].opt_state
+    save_params(os.path.join(out_dir, "scorer"),
+                train_shared(sts, scorer_steps, "scorer"))
     logging.info(f"checkpoints saved under {out_dir}")
 
 
@@ -74,4 +102,4 @@ if __name__ == "__main__":
     scene = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "demo_data", "synth_box")
     rs = int(sys.argv[2]) if len(sys.argv) > 2 else 800
     ss = int(sys.argv[3]) if len(sys.argv) > 3 else 400
-    main(scene, rs, ss)
+    main(scene.split(","), rs, ss)
