@@ -25,6 +25,11 @@ def main(scene_dir, n_frames=None):
     import logging
 
     logging.disable(logging.INFO)
+    import jax
+
+    # persistent XLA cache: repeat parity runs skip the ~5-10 min compiles
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from sixdof_tpu.app.defect_projection import ray_tracing
     from sixdof_tpu.app.icp_pipeline import refine_pose_with_icp
@@ -42,12 +47,19 @@ def main(scene_dir, n_frames=None):
 
     reader = DataReader(base_dir=scene_dir, shorter_side=None, zfar=np.inf, arguments=Args())
     mesh = load_mesh(f"{scene_dir}/mesh/model_scaled_down.obj")
-    rckpt = os.path.join(REPO, "weights", "refiner")
-    sckpt = os.path.join(REPO, "weights", "scorer")
+    # WEIGHTS_DIR selects an alternative checkpoint pair (e.g. weights_multi);
+    # SCORE_MODE forces the scorer mode (network | depth | hybrid) so the
+    # learned scorer can be evaluated without the analytic crutch
+    wdir = os.environ.get("WEIGHTS_DIR", "weights")
+    rckpt = os.path.join(REPO, wdir, "refiner")
+    sckpt = os.path.join(REPO, wdir, "scorer")
+    scfg = {}
+    if os.environ.get("SCORE_MODE"):
+        scfg["score_mode"] = os.environ["SCORE_MODE"]
     est = FoundationPose(
         model_pts=mesh.vertices, model_normals=mesh.vertex_normals, mesh=mesh,
         refiner=PoseRefinePredictor(ckpt_dir=rckpt if os.path.exists(rckpt) else None),
-        scorer=ScorePredictor(ckpt_dir=sckpt if os.path.exists(sckpt) else None),
+        scorer=ScorePredictor(cfg=scfg or None, ckpt_dir=sckpt if os.path.exists(sckpt) else None),
     )
     model_pts = np.asarray(est.pts) + est.model_center
 
