@@ -248,3 +248,164 @@ def depth_projection_heatmap(depth_image, intrinsic, target, defects):
     point3d = heatmap_to_point3d(defects, depth_image, intrinsic)
     offset_points, aligned_points = align_to_surface(point3d, target, offset=0.5)
     return offset_points, aligned_points, point3d
+
+
+# ------------------------------------------------ point-click defect paths --
+# Headless-safe equivalents of the reference's interactive tools
+# (src/defect_projection.py:94-135 choose_points, :188-194 create_mesh,
+#  :565-611 ray_tracing_points, :632-649 depth_projection_points,
+#  :495-525 visualize).
+
+
+def choose_points(image, points=None):
+    """Select defect pixels on an image (reference :94-135).
+
+    @points: pre-selected [(x, y), ...] — the headless path (from a config,
+    the web viewer, or a test).  When omitted, opens the reference's
+    matplotlib click collector (left-click adds, ESC finishes), which needs a
+    display; on a headless host pass @points instead.
+    """
+    if points is not None:
+        return [tuple(int(v) for v in p) for p in points]
+    import matplotlib
+
+    if matplotlib.get_backend().lower() == "agg":
+        raise RuntimeError(
+            "choose_points: no display available — pass points=[(x, y), ...] "
+            "(the headless path) instead of interactive selection"
+        )
+    import matplotlib.pyplot as plt
+
+    chosen = []
+    fig, ax = plt.subplots()
+    if image.ndim == 2 or (image.ndim == 3 and image.shape[2] == 1):
+        ax.imshow(image, cmap="gray")
+    else:
+        ax.imshow(image)
+    ax.set_title("Click to select points. Press ESC to finish.")
+
+    def onclick(event):
+        if event.button == 1 and event.xdata is not None and event.ydata is not None:
+            chosen.append((int(event.xdata), int(event.ydata)))
+            ax.plot(int(event.xdata), int(event.ydata), "ro")
+            fig.canvas.draw()
+
+    def onkey(event):
+        if event.key == "escape":
+            plt.close(fig)
+
+    fig.canvas.mpl_connect("button_press_event", onclick)
+    fig.canvas.mpl_connect("key_press_event", onkey)
+    plt.show()
+    return chosen
+
+
+def create_mesh(pcd: PointCloud, resolution=64, iso=None):
+    """Surface mesh from a point cloud (reference :188-194 uses Open3D
+    Poisson).  Open3D-free stand-in: iso-surface of the unsigned distance
+    field at ~1.5x the mean point spacing — a watertight 'crust' that rays
+    intersect like the Poisson surface."""
+    from scipy.spatial import cKDTree
+
+    from ..io.mesh_io import TriMesh
+    from ..ops.marching import marching_tetrahedra
+
+    pts = np.asarray(pcd.points, dtype=np.float64)
+    if len(pts) < 4:
+        return TriMesh(np.zeros((0, 3)), np.zeros((0, 3), np.int64))
+    lo = pts.min(axis=0)
+    hi = pts.max(axis=0)
+    pad = 0.05 * (hi - lo).max() + 1e-9
+    lo, hi = lo - pad, hi + pad
+    lin = [np.linspace(lo[k], hi[k], resolution) for k in range(3)]
+    grid = np.stack(np.meshgrid(*lin, indexing="ij"), axis=-1).reshape(-1, 3)
+    tree = cKDTree(pts)
+    d, _ = tree.query(grid, k=1, workers=-1)
+    if iso is None:
+        # the crust must cover the sampling gaps: random (Poisson) surface
+        # sampling leaves gaps ~2-2.5x the median nearest-neighbor distance,
+        # and the band must span >1 grid voxel or marching misses it
+        nn, _ = tree.query(pts, k=2, workers=-1)
+        voxel = float((hi - lo).max()) / (resolution - 1)
+        iso = max(2.5 * float(np.median(nn[:, 1])), 1.2 * voxel)
+    field = (d - iso).reshape(resolution, resolution, resolution)
+    verts, faces = marching_tetrahedra(field, 0.0)
+    if len(verts) == 0:
+        return TriMesh(np.zeros((0, 3)), np.zeros((0, 3), np.int64))
+    verts = lo[None] + verts / (resolution - 1) * (hi - lo)[None]
+    return TriMesh(verts, faces)
+
+
+def ray_tracing_points(data_dir, target, intrinsic_parameters, image, points=None):
+    """Point-click ray tracing against a reconstructed target surface
+    (reference :565-611): mesh the target cloud, transform it into the color
+    frame, cast rays through the selected pixels.
+
+    Returns (intersection_pcd | debug_rays PointCloud, mesh TriMesh).
+    """
+    origin = np.zeros(3)
+    color_to_depth_trans, _ = load_extrinsics(data_dir)
+
+    mesh = create_mesh(target) if isinstance(target, PointCloud) else target.copy()
+    mesh.vertices = (
+        mesh.vertices @ np.linalg.inv(color_to_depth_trans)[:3, :3].T
+        + np.linalg.inv(color_to_depth_trans)[:3, 3]
+    )
+
+    sel = choose_points(image, points=points)
+    if not sel:
+        return PointCloud(np.zeros((0, 3))), mesh
+    pts = [(x, y, 1.0) for x, y in sel]
+    rays, intensities = compute_rays(pts, intrinsic_parameters)
+    hits, kept = intersect_rays_with_mesh(mesh, rays, origin, intensities)
+    if len(hits) > 0:
+        pcd = PointCloud(hits, colors=np.tile([[255.0, 0.0, 0.0]], (len(hits), 1)))
+        return pcd, mesh
+    logging.info("No intersections found.")
+    return project_debug_rays(rays, origin), mesh
+
+
+def depth_projection_points(depth_image, intrinsic, target, points=None):
+    """Project selected depth-image pixels onto the target surface
+    (reference :632-649).  Returns (offset_points, aligned_points, point3d).
+    """
+    sel = choose_points(depth_image, points=points)
+    point3d = calc_coordinates(depth_image, sel, intrinsic)
+    offset_points, aligned_points = align_to_surface(point3d, target, offset=0.5)
+    return offset_points, aligned_points, point3d
+
+
+def visualize(list_of_objects, out_path=None, data_queue=None):
+    """Show meshes/point clouds (reference :495-525 opens an Open3D window).
+
+    Headless equivalents, in priority order: push to the live web viewer's
+    data queue (same payload as update_dash_data), or write a PLY snapshot of
+    everything merged so any external viewer can open it.
+    """
+    from ..io.mesh_io import TriMesh, save_point_cloud
+
+    pcds = [o for o in list_of_objects if isinstance(o, PointCloud)]
+    meshes = [o for o in list_of_objects if isinstance(o, TriMesh)]
+    if data_queue is not None:
+        from .web_vis import update_dash_data
+
+        update_dash_data(pcds, meshes[0] if meshes else None)
+        return
+    all_pts, all_cols = [], []
+    for p in pcds:
+        all_pts.append(np.asarray(p.points))
+        all_cols.append(np.asarray(p.colors) if p.colors is not None
+                        else np.full((len(p.points), 3), 200.0))
+    for m in meshes:
+        all_pts.append(np.asarray(m.vertices))
+        all_cols.append(np.asarray(m.vertex_colors) if m.vertex_colors is not None
+                        else np.full((len(m.vertices), 3), 120.0))
+    if not all_pts:
+        return
+    out_path = out_path or "debug/visualize_snapshot.ply"
+    import os
+
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    save_point_cloud(out_path, PointCloud(np.concatenate(all_pts),
+                                          colors=np.concatenate(all_cols)))
+    logging.info(f"visualize: wrote {out_path}")
