@@ -54,8 +54,10 @@ def main():
 
     logging.disable(logging.INFO)
 
-    from sixdof_tpu.app.defect_projection import ray_tracing
-    from sixdof_tpu.app.icp_pipeline import improve_result, preprocess_source, refine_pose_with_icp
+    from sixdof_tpu.app.defect_projection import compute_rays, heatmap_to_points, ray_tracing
+    from sixdof_tpu.app.icp_pipeline import (
+        capture_event, improve_result, preprocess_source, refine_pose_with_icp,
+    )
     from sixdof_tpu.estimater import FoundationPose
     from sixdof_tpu.io.mesh_io import load_mesh
     from sixdof_tpu.io.readers import DataReader
@@ -133,13 +135,15 @@ def main():
     # ---- warm tracking + capture path (all shapes the loop will see, so the
     # measured loop is compile-free steady state) ----
     est.track_one(rgb=color, depth=depth, K=reader.color_K, iteration=2)
+    pix = heatmap_to_points(heatmap, 0.75)
+    rays, intensities = compute_rays(pix, reader.color_pinhole)
+    ray_mask = np.ones(len(rays), dtype=bool)
     for wf in (1, 2):
         s = reader.get_source(wf)
         sp, _, _ = preprocess_source(s, reader.background, reader.parameters, i=wf)
-        r = improve_result(sp, target_processed, init_tf.copy(), reader.parameters)
-        tm = reader.target_mesh.copy()
-        tm.transform(np.linalg.inv(r.transformation))
-        ray_tracing(reader.base_dir, tm, heatmap, reader.color_pinhole, 0.75)
+        capture_event(sp, target_processed, init_tf.copy(), reader.parameters,
+                      reader.target_mesh, rays, ray_mask, intensities,
+                      reader.color_to_depth)
 
     # ---- steady-state loop (reference semantics): track + dead reckoning;
     # ICP+defect capture is a user-triggered event (reference run.py:142-145),
@@ -164,10 +168,10 @@ def main():
         fi = 1 + (i % (n - 1))
         s = reader.get_source(fi)
         sp, _, _ = preprocess_source(s, reader.background, reader.parameters, i=fi)
-        res = improve_result(sp, target_processed, init_tf.copy(), reader.parameters)
-        tm = reader.target_mesh.copy()
-        tm.transform(np.linalg.inv(res.transformation))
-        ray_tracing(reader.base_dir, tm, heatmap, reader.color_pinhole, 0.75)
+        # fused capture: restart ICP + best-pick + defect ray trace, one dispatch
+        capture_event(sp, target_processed, init_tf.copy(), reader.parameters,
+                      reader.target_mesh, rays, ray_mask, intensities,
+                      reader.color_to_depth)
     capture_s = (time.perf_counter() - t0) / n_cap
     fps_with_captures = N_TRACK / (loop_s + (N_TRACK / CAPTURE_EVERY) * capture_s)
 

@@ -229,20 +229,13 @@ def predict_z_axis_adjustment(source, target, initial_fp_transformation, param,
     return float(zs[best]), float(fit[best]), float(rmse[best])
 
 
-def improve_result(source_processed, original_target_processed, current_result,
-                   parameter, n_restarts=None, seed=0, clouds=None):
-    """Parallel random-restart point-to-plane refinement.
-
-    Mirrors the search distribution of reference src/pose_estimation.py:547-622
-    (threshold jitter U(0.8,1.2), rotation noise U(-0.01,0.01) rad, translation
-    noise U(-x,x) with escalating x) but runs all restarts as one batched
-    device call and keeps the argmax by (fitness, -rmse).
-    Accepts either a RegistrationResult or a raw 4x4 matrix (the reference's
-    fitness-attr duck check, :564-569).
-    """
-    parameters = copy.deepcopy(parameter)
-    dc = clouds or _DeviceClouds(source_processed, original_target_processed)
-
+def _build_restarts(current_result, parameters, n_restarts=None, seed=0):
+    """Restart batch for improve_result/capture_event: the reference's noise
+    distribution (threshold jitter U(0.8,1.2), rotation noise U(-0.01,0.01)
+    rad, translation U(-x,x) with escalating x — src/pose_estimation.py:
+    547-622) pre-spread over one parallel batch.
+    Returns (best_transformation, tfs (K,4,4), thresholds (K,), base_thresh,
+    max_iter, K)."""
     if not hasattr(current_result, "fitness") or current_result.fitness is None:
         init_tf = np.asarray(current_result, dtype=np.float64)
     else:
@@ -262,17 +255,36 @@ def improve_result(source_processed, original_target_processed, current_result,
     # escalating translation-noise amplitude across the batch (the reference
     # escalates x by +0.25 on failures; we pre-spread it)
     xs = np.concatenate([np.full(K // 2, 0.1), np.linspace(0.1, 1.0, K - K // 2)])
+    from ..ops.lie import euler_matrix
+
     for k in range(K):
         if k == 0:
             tfs[k] = best_transformation
             thresholds[k] = base_thresh
             continue
         thresholds[k] = base_thresh * rng.uniform(0.8, 1.2)
-        from ..ops.lie import euler_matrix
-
         noise = euler_matrix(*[rng.uniform(-0.01, 0.01) for _ in range(3)])
         noise[:3, 3] = rng.uniform(-xs[k], xs[k], 3)
         tfs[k] = noise @ best_transformation
+    return best_transformation, tfs, thresholds, base_thresh, max_iter, K
+
+
+def improve_result(source_processed, original_target_processed, current_result,
+                   parameter, n_restarts=None, seed=0, clouds=None):
+    """Parallel random-restart point-to-plane refinement.
+
+    Mirrors the search distribution of reference src/pose_estimation.py:547-622
+    (threshold jitter U(0.8,1.2), rotation noise U(-0.01,0.01) rad, translation
+    noise U(-x,x) with escalating x) but runs all restarts as one batched
+    device call and keeps the argmax by (fitness, -rmse).
+    Accepts either a RegistrationResult or a raw 4x4 matrix (the reference's
+    fitness-attr duck check, :564-569).
+    """
+    parameters = copy.deepcopy(parameter)
+    dc = clouds or _DeviceClouds(source_processed, original_target_processed)
+    best_transformation, tfs, thresholds, base_thresh, max_iter, K = _build_restarts(
+        current_result, parameters, n_restarts, seed
+    )
 
     # restarts + the un-refined initial transform's score (never regress),
     # fused into one device dispatch (tunnel round trips cost ~45ms each)
@@ -308,6 +320,58 @@ def improve_result(source_processed, original_target_processed, current_result,
     out.inlier_rmse = float(rmse[best])
     out.transformation = tf_all[best].astype(np.float64)
     return out
+
+
+def capture_event(source_processed, target_processed, current_result, parameter,
+                  model_mesh, ray_dirs, ray_mask, intensities, color_to_depth,
+                  n_restarts=None, seed=0, clouds=None):
+    """One defect-capture event as ONE device dispatch: restart ICP +
+    initial-transform eval + best-pick + defect ray trace on the re-posed
+    mesh (ops/icp.py::improve_and_raytrace).
+
+    Same semantics as improve_result followed by ray_tracing
+    (reference run.py:168-206) minus the intermediate host round trips.
+    @model_mesh: TriMesh in the MODEL frame (mm); @ray_dirs/@ray_mask/
+    @intensities: padded color-frame heatmap rays (ops/raytrace.py::
+    heatmap_to_rays or defect_projection.compute_rays).
+    Returns (RegistrationResult, intersection PointCloud).
+    """
+    from ..ops import raytrace as rt
+    from .defect_projection import create_intersection_pcd
+
+    parameters = copy.deepcopy(parameter)
+    dc = clouds or _DeviceClouds(source_processed, target_processed)
+    best_transformation, tfs, thresholds, base_thresh, max_iter, K = _build_restarts(
+        current_result, parameters, n_restarts, seed
+    )
+    tri, tri_mask = rt.mesh_to_tri_verts(model_mesh.vertices, model_mesh.faces)
+
+    tf_all, fit, rmse, best, t_hit = icp_ops.improve_and_raytrace(
+        dc.src, dc.src_mask, dc.tgt, dc.tgt_normals, dc.tgt_mask,
+        jnp.asarray(tfs), jnp.asarray(thresholds),
+        jnp.asarray(best_transformation, dtype=jnp.float32), base_thresh,
+        jnp.asarray(tri), jnp.asarray(tri_mask),
+        jnp.asarray(ray_dirs, dtype=jnp.float32), jnp.asarray(ray_mask),
+        jnp.asarray(np.linalg.inv(color_to_depth), dtype=jnp.float32),
+        max_iter=max_iter,
+    )
+    best = int(best)
+    out = RegistrationResult()
+    out.fitness = float(np.asarray(fit)[best])
+    out.inlier_rmse = float(np.asarray(rmse)[best])
+    out.transformation = np.asarray(tf_all)[best].astype(np.float64)
+    logging.info(
+        f":: Capture event: Fitness = {out.fitness:.4f}, RMSE = {out.inlier_rmse:.4f} "
+        f"(over {K} parallel restarts)"
+    )
+    t = np.asarray(t_hit)
+    hit = np.isfinite(t) & np.asarray(ray_mask)
+    pts = np.asarray(ray_dirs)[hit] * t[hit, None]
+    if len(pts) == 0:
+        from ..io.mesh_io import PointCloud as _PC
+
+        return out, _PC(np.zeros((0, 3)))
+    return out, create_intersection_pcd(pts, np.asarray(intensities)[hit])
 
 
 # ------------------------------------------------------------------- mains --

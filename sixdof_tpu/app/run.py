@@ -28,8 +28,14 @@ from ..models.predict import PoseRefinePredictor, ScorePredictor
 from ..utils import set_logging_format, set_seed
 from ..utils.profiling import StageTimer
 from ..utils.vis import draw_posed_3d_box, draw_xyz_axis
-from .defect_projection import create_heatmap_overlay, ray_tracing, save_overlay
-from .icp_pipeline import improve_result, preprocess_source, refine_pose_with_icp
+from .defect_projection import (
+    compute_rays,
+    create_heatmap_overlay,
+    heatmap_to_points,
+    ray_tracing,
+    save_overlay,
+)
+from .icp_pipeline import capture_event, preprocess_source, refine_pose_with_icp
 from .web_vis import ASSETS_DIR, run_dash_app, update_dash_data
 
 
@@ -194,9 +200,21 @@ def main(args):
                 )
                 if debug >= 2:
                     save_overlay(overlay, save_path=f"{debug_dir}/overlay/overlay_{i}.png")
-                current_result = improve_result(
+                # restart ICP + best-pick + defect ray trace fused into ONE
+                # device dispatch (icp_pipeline.capture_event); equivalent to
+                # improve_result followed by ray_tracing (reference
+                # run.py:168-206), tested in tests/test_icp_pipeline.py
+                pix = heatmap_to_points(heatmap, 0.75)
+                if pix:
+                    rays, intensities = compute_rays(pix, reader.color_pinhole)
+                else:
+                    rays = np.array([[0.0, 0.0, 1.0]])
+                    intensities = np.zeros(1)
+                current_result, new_intersection_pcd = capture_event(
                     source_processed, target_processed, initial_transformation,
-                    reader.parameters,
+                    reader.parameters, reader.target_mesh, rays,
+                    np.ones(len(rays), dtype=bool), intensities,
+                    reader.color_to_depth,
                 )
                 current_transformation = current_result.transformation
                 delta_pose = np.linalg.inv(initial_transformation) @ np.linalg.inv(
@@ -207,10 +225,6 @@ def main(args):
                 )
                 relative_transformation = (
                     np.linalg.inv(current_transformation) @ previous_transformation
-                )
-                new_intersection_pcd, transformed_target_mesh = ray_tracing(
-                    reader.base_dir, target_mesh_copy, heatmap, reader.color_pinhole,
-                    heatmap_threshold=0.75,
                 )
                 for pcd in intersection_pcds:
                     pcd.transform(relative_transformation)

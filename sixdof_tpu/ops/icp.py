@@ -190,3 +190,49 @@ def icp_batch_with_eval(src, src_mask, tgt, tgt_normals, tgt_mask, init_tfs, max
     )(init_tfs, max_dists)
     f0, r0 = evaluate_registration(src, src_mask, tgt, tgt_mask, eval_tf, eval_dist)
     return res, f0, r0
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def improve_and_raytrace(src, src_mask, tgt, tgt_normals, tgt_mask, init_tfs, max_dists,
+                         eval_tf, eval_dist, mesh_tri, mesh_tri_mask, ray_dirs, ray_mask,
+                         inv_color_to_depth, max_iter=30):
+    """One capture event as ONE device program: batched-restart ICP + the
+    initial-transform evaluation + device-side best-pick + defect ray trace
+    against the re-posed mesh.
+
+    The staged path (improve_result -> host argbest -> transform mesh ->
+    ray_tracing) pays two extra dispatches and the host round trips between
+    them; at capture cadence that latency is the difference between making
+    and missing the 10 FPS budget (BASELINE.md).
+
+    @mesh_tri: (T,3,3) model-frame mm triangles; @ray_dirs: (M,3) color-frame
+    rays; @inv_color_to_depth: (4,4).  Returns (tf_all (K+1,4,4), fit (K+1,),
+    rmse (K+1,), best index (), t_hit (M,)).
+    """
+    from .raytrace import ray_mesh_intersect
+
+    res = jax.vmap(
+        lambda tf, md: icp_point_to_plane(
+            src, src_mask, tgt, tgt_normals, tgt_mask, tf, md, max_iter=max_iter
+        )
+    )(init_tfs, max_dists)
+    f0, r0 = evaluate_registration(src, src_mask, tgt, tgt_mask, eval_tf, eval_dist)
+
+    fit = jnp.concatenate([res.fitness, f0[None]])
+    rmse = jnp.concatenate([res.inlier_rmse, r0[None]])
+    tf_all = jnp.concatenate([res.transformation, eval_tf[None]])
+
+    valid = (fit > 0) & (rmse > 0)
+    any_valid = valid.any()
+    # improve_result's np.lexsort((rmse, -fit)): fitness desc, rmse asc;
+    # all-invalid falls back to the appended initial transform
+    key = jnp.where(valid, -fit * 1e6 + rmse, jnp.inf)
+    best = jnp.where(any_valid, jnp.argmin(key), fit.shape[0] - 1)
+
+    best_tf = tf_all[best]  # source->target (scene->object)
+    obj_in_scene = jnp.linalg.inv(best_tf)
+    M = inv_color_to_depth @ obj_in_scene
+    tri_w = jnp.einsum("ij,tkj->tki", M[:3, :3], mesh_tri) + M[:3, 3]
+    origins = jnp.zeros_like(ray_dirs)
+    t_hit = ray_mesh_intersect(origins, ray_dirs, ray_mask, tri_w, mesh_tri_mask)
+    return tf_all, fit, rmse, best, t_hit

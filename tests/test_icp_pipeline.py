@@ -190,3 +190,59 @@ def test_preprocess_source_keeps_object_side_at_capture_time(rng):
         )
         extent = out.points.max(axis=0) - out.points.min(axis=0)
         assert extent.max() < 150.0, f"kept cloud spans the scene plane: {extent}"
+
+
+def test_capture_event_matches_staged_path(rng):
+    """capture_event (one fused dispatch) == improve_result + ray_tracing
+    staged: same best transform and same defect hit points."""
+    import jax.numpy as jnp
+
+    from sixdof_tpu.app.defect_projection import compute_rays, PinholeCameraIntrinsic
+    from sixdof_tpu.io.mesh_io import TriMesh
+    from sixdof_tpu.ops import raytrace as rt
+
+    true_tf = euler_matrix(0.2, -0.1, 0.3)
+    true_tf[:3, 3] = [5.0, -10.0, 500.0]
+    source, background = make_scene(rng, true_tf)
+    src_p, _, _ = ip.preprocess_source(source, background, ICP_PARAMS, i=1)
+
+    obj = make_object_cloud(rng, 2500)
+    from sixdof_tpu.io.mesh_io import PointCloud
+
+    target_processed, _ = ip.preprocess_target(PointCloud(obj), ICP_PARAMS)
+
+    # a small mm-scale model mesh (a tetra spanning the half-ellipsoid)
+    v = np.array([[0, 0, -25.0], [35.0, 0, 0], [-20.0, 25.0, 0], [-20.0, -25.0, 0]])
+    f = np.array([[0, 1, 2], [0, 2, 3], [0, 3, 1], [1, 3, 2]])
+    mesh = TriMesh(v, f)
+
+    init = true_tf.copy()
+    init[:3, 3] += [1.0, -1.5, 2.0]  # a few-mm error for ICP to absorb
+    K = PinholeCameraIntrinsic.from_params(160, 120, 300.0, 300.0, 80.0, 60.0)
+    pix = [(80, 60, 1.0), (84, 58, 0.7), (70, 65, 0.9)]
+    rays, intensities = compute_rays(pix, K)
+    ray_mask = np.ones(len(rays), dtype=bool)
+    c2d = np.eye(4)
+
+    res_staged = ip.improve_result(src_p, target_processed, init.copy(), ICP_PARAMS,
+                                   n_restarts=6, seed=3)
+    res_fused, pcd = ip.capture_event(src_p, target_processed, init.copy(), ICP_PARAMS,
+                                      mesh, rays, ray_mask, intensities, c2d,
+                                      n_restarts=6, seed=3)
+    np.testing.assert_allclose(res_fused.transformation, res_staged.transformation,
+                               atol=1e-4)
+    assert abs(res_fused.fitness - res_staged.fitness) < 1e-5
+
+    # staged ray trace for comparison
+    tm = mesh.copy()
+    tm.transform(np.linalg.inv(res_staged.transformation))
+    tri, tri_mask = rt.mesh_to_tri_verts(tm.vertices, tm.faces)
+    t = np.asarray(rt.ray_mesh_intersect(
+        jnp.zeros((len(rays), 3), dtype=jnp.float32),
+        jnp.asarray(rays, dtype=jnp.float32), jnp.asarray(ray_mask),
+        jnp.asarray(tri), jnp.asarray(tri_mask)))
+    hit = np.isfinite(t)
+    pts_staged = rays[hit] * t[hit, None]
+    assert len(pcd) == hit.sum()
+    if len(pcd):
+        np.testing.assert_allclose(np.asarray(pcd.points), pts_staged, atol=1e-2)

@@ -75,26 +75,29 @@ def main(scene_dirs, refiner_steps=800, scorer_steps=400, out_dir=None):
             losses.append(float(loss))
             if i % 50 == 0:
                 logging.info(f"{tag} step {i}: loss {losses[-1]:.5f}")
-        logging.info(f"{tag}: {losses[0]:.4f} -> {losses[-1]:.4f} "
-                     f"({(time.time()-t0)/max(len(losses),1):.2f}s/step)")
+        if losses:
+            logging.info(f"{tag}: {losses[0]:.4f} -> {losses[-1]:.4f} "
+                         f"({(time.time()-t0)/max(len(losses),1):.2f}s/step)")
         return params
 
-    logging.info(f"training refiner for {refiner_steps} steps on {len(objects)} object(s)")
-    rmodel = RefineNet(c_in=6)
-    rts = [RefinerTrainer(rmodel, a, K, d, cfg) for a, K, d in objects]
-    for t in rts[1:]:
-        t.params, t.opt_state = rts[0].params, rts[0].opt_state
-    save_params(os.path.join(out_dir, "refiner"),
-                train_shared(rts, refiner_steps, "refiner"))
+    if refiner_steps > 0:
+        logging.info(f"training refiner for {refiner_steps} steps on {len(objects)} object(s)")
+        rmodel = RefineNet(c_in=6)
+        rts = [RefinerTrainer(rmodel, a, K, d, cfg) for a, K, d in objects]
+        for t in rts[1:]:
+            t.params, t.opt_state = rts[0].params, rts[0].opt_state
+        save_params(os.path.join(out_dir, "refiner"),
+                    train_shared(rts, refiner_steps, "refiner"))
 
-    logging.info(f"training scorer for {scorer_steps} steps")
-    scfg = cfg._replace(n_hypotheses=12, lr=3e-4)
-    smodel = ScoreNetMultiPair(c_in=6)
-    sts = [ScorerTrainer(smodel, a, K, d, scfg) for a, K, d in objects]
-    for t in sts[1:]:
-        t.params, t.opt_state = sts[0].params, sts[0].opt_state
-    save_params(os.path.join(out_dir, "scorer"),
-                train_shared(sts, scorer_steps, "scorer"))
+    if scorer_steps > 0:
+        logging.info(f"training scorer for {scorer_steps} steps")
+        scfg = cfg._replace(n_hypotheses=12, lr=3e-4)
+        smodel = ScoreNetMultiPair(c_in=6)
+        sts = [ScorerTrainer(smodel, a, K, d, scfg) for a, K, d in objects]
+        for t in sts[1:]:
+            t.params, t.opt_state = sts[0].params, sts[0].opt_state
+        save_params(os.path.join(out_dir, "scorer"),
+                    train_shared(sts, scorer_steps, "scorer"))
     logging.info(f"checkpoints saved under {out_dir}")
 
 
@@ -102,4 +105,5 @@ if __name__ == "__main__":
     scene = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "demo_data", "synth_box")
     rs = int(sys.argv[2]) if len(sys.argv) > 2 else 800
     ss = int(sys.argv[3]) if len(sys.argv) > 3 else 400
-    main(scene.split(","), rs, ss)
+    out = sys.argv[4] if len(sys.argv) > 4 else None
+    main(scene.split(","), rs, ss, out_dir=out)
