@@ -168,6 +168,106 @@ def dump_calibration(base_dir="."):
     device.close()
 
 
+def display_color_image(color_image):
+    """Live RGB feed window (src/kinect.py:292-295); needs a display."""
+    import cv2
+
+    cv2.imshow("Live RGB Feed", color_image[..., :3])
+    cv2.waitKey(1)
+
+
+def display_depth_image(depth_image):
+    """(src/kinect.py:297-300)"""
+    import cv2
+
+    cv2.imshow("Depth Image", depth_image)
+    cv2.waitKey(1)
+
+
+def countdown(seconds, message="Resuming in"):
+    """(src/kinect.py:322-327)"""
+    for i in range(seconds, 0, -1):
+        logging.info(f"{message} {i} seconds...")
+        time.sleep(1)
+
+
+def handle_pause(frame_count, start_frame, interval, dim_frame, dim_interval):
+    """Dim-light pause cadence during capture campaigns (src/kinect.py:329-339)."""
+    if (frame_count - start_frame + 1) % dim_frame == 0:
+        logging.info("DIM LIGHT - pausing...")
+        countdown(dim_interval, message="Resuming in")
+    else:
+        countdown(interval, message="Next capture in")
+
+
+def get_last_frame_id(save_dir):
+    """Largest saved rgb frame id, -1 when none (src/kinect.py:167-183).
+    Checks both the flat layout the reference campaign writes (rgb_*.png)
+    and this framework's scene layout (rgb/rgb_*.png)."""
+    import glob
+
+    files = sorted(glob.glob(f"{save_dir}/rgb_*.png")) + sorted(
+        glob.glob(f"{save_dir}/rgb/rgb_*.png")
+    )
+    if not files:
+        return -1
+    stem = os.path.splitext(os.path.basename(files[-1]))[0]
+    return int(stem.split("_")[-1])
+
+
+def save_info_json(save_dir, color_k_matrix):
+    """Per-frame K table info.json for the PVNet conversion tooling
+    (src/kinect.py:185-209)."""
+    import glob
+
+    files = sorted(glob.glob(f"{save_dir}/rgb_*.png")) + sorted(
+        glob.glob(f"{save_dir}/rgb/rgb_*.png")
+    )
+    info = {
+        os.path.basename(f): {"K": np.asarray(color_k_matrix).tolist()} for f in files
+    }
+    path = os.path.join(save_dir, "info.json")
+    with open(path, "w") as f:
+        json.dump(info, f, indent=2)
+    return path
+
+
+def capture_save(device, base_dir, frame_count=1, show=False):
+    """Capture one frame and persist it (src/kinect.py:341-359)."""
+    color, depth, points = capture_frame(device)
+    if color is None or depth is None or points is None:
+        logging.error("Failed to capture image or point cloud.")
+        return False
+    if show:
+        display_color_image(color)
+    save_frame(base_dir, color, depth, points, frame_count)
+    return True
+
+
+def pvnet_data_capture(device, device_config, save_dir, total_captures, interval=0,
+                       dim_light_frame=10, dim_interval=0, show=False):
+    """Dataset capture campaign for PVNet-style training data
+    (src/kinect.py:362-405): save calibration, resume from the last saved
+    frame id, capture with dim-light pauses, then write the per-frame K table.
+    """
+    c2d, d2c = get_extrinsics(device, device_config)
+    save_extrinsics(save_dir, c2d, d2c)
+    color_K, depth_K = get_intrinsics(device, device_config)
+    save_intrinsics(save_dir, color_K.tolist(), depth_K.tolist())
+
+    logging.info("Starting data capture...")
+    start_frame = get_last_frame_id(save_dir) + 1
+    for frame_count in range(start_frame, start_frame + total_captures):
+        color, depth, points = capture_frame(device)
+        save_frame(save_dir, color, depth, points, frame_count)
+        logging.info(f"Captured and saved frame {frame_count}/{start_frame + total_captures - 1}")
+        if show:
+            display_color_image(color)
+        handle_pause(frame_count, start_frame, interval, dim_light_frame, dim_interval)
+    save_info_json(save_dir, color_K)
+    logging.info("Data capture complete.")
+
+
 if __name__ == "__main__":
     import sys
 
