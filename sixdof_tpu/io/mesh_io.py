@@ -454,3 +454,71 @@ def save_mesh(path, mesh: TriMesh):
 
 def save_point_cloud(path, pcd: PointCloud):
     save_ply(path, pcd)
+
+
+def decimate_mesh(mesh: TriMesh, target_tris=None, voxel_size=None) -> TriMesh:
+    """Vertex-clustering decimation for raster LOD.
+
+    Real-dataset CAD models (BOP obj_*.ply) carry 10k-200k triangles; the
+    render-and-compare raster cost is linear in triangle count, so hypothesis
+    rendering wants a decimated proxy (the reference leans on nvdiffrast's
+    throughput instead and renders full meshes, Utils.py:133-219).
+
+    Clusters vertices on a uniform grid (cluster size from @voxel_size, or
+    solved from @target_tris by bisection), collapses each cluster to its
+    mean (mean colors/uv too), and drops degenerate faces.  Watertight inputs
+    stay closed under clustering (holes cannot open — faces only merge).
+    """
+    v = np.asarray(mesh.vertices, dtype=np.float64)
+    f = np.asarray(mesh.faces, dtype=np.int64)
+    if len(f) == 0 or (target_tris is not None and len(f) <= target_tris):
+        return mesh.copy()
+
+    def cluster(vox):
+        keys = np.floor(v / vox).astype(np.int64)
+        kmin = keys.min(axis=0)
+        keys -= kmin
+        dims = keys.max(axis=0) + 1
+        flat = (keys[:, 0] * dims[1] + keys[:, 1]) * dims[2] + keys[:, 2]
+        uniq, inverse, counts = np.unique(flat, return_inverse=True, return_counts=True)
+
+        def mean_of(attr):
+            if attr is None:
+                return None
+            out = np.zeros((len(uniq), attr.shape[1]), dtype=np.float64)
+            np.add.at(out, inverse, np.asarray(attr, dtype=np.float64))
+            return out / counts[:, None]
+
+        nf = inverse[f]
+        keep = (nf[:, 0] != nf[:, 1]) & (nf[:, 1] != nf[:, 2]) & (nf[:, 0] != nf[:, 2])
+        nf = nf[keep]
+        # dedup faces (ignoring winding-preserving rotation)
+        rolled = np.sort(nf, axis=1)
+        _, first = np.unique(rolled, axis=0, return_index=True)
+        nf = nf[np.sort(first)]
+        return TriMesh(
+            mean_of(v.reshape(-1, 3)), nf,
+            vertex_colors=mean_of(None if mesh.vertex_colors is None
+                                  else np.asarray(mesh.vertex_colors)),
+            uv=mean_of(None if mesh.uv is None else np.asarray(mesh.uv)),
+            texture=None if mesh.texture is None else mesh.texture.copy(),
+        )
+
+    if voxel_size is not None:
+        return cluster(float(voxel_size))
+
+    # bisect the cluster size to land near target_tris
+    diag = float(np.linalg.norm(v.max(axis=0) - v.min(axis=0)))
+    lo, hi = diag / 1000.0, diag / 2.0
+    best = None
+    for _ in range(20):
+        mid = (lo + hi) / 2.0
+        m = cluster(mid)
+        if len(m.faces) > target_tris:
+            lo = mid
+        else:
+            best = m
+            hi = mid
+        if best is not None and 0.7 * target_tris <= len(best.faces) <= target_tris:
+            break
+    return best if best is not None else cluster(hi)

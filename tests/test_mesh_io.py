@@ -80,3 +80,32 @@ def test_pointcloud_select_by_index(rng):
     assert len(sel) == 3
     inv = pcd.select_by_index([0, 1, 2], invert=True)
     assert len(inv) == 7
+
+
+def test_decimate_mesh_vertex_clustering():
+    """LOD decimation: triangle count shrinks to target, shape is preserved,
+    closed meshes stay closed, attributes survive."""
+    import numpy as np
+
+    from sixdof_tpu.io.mesh_io import TriMesh, decimate_mesh
+    from sixdof_tpu.ops.hypotheses import icosphere
+
+    v, f = icosphere(subdivisions=4)  # 2562 verts, 5120 faces
+    colors = np.tile([[200.0, 40.0, 90.0]], (len(v), 1))
+    mesh = TriMesh(v * 0.05, f, vertex_colors=colors)
+    assert mesh.is_watertight()
+
+    dec = decimate_mesh(mesh, target_tris=800)
+    assert 100 < len(dec.faces) <= 800
+    # shape preserved: vertices still on a ~0.05 sphere
+    r = np.linalg.norm(dec.vertices, axis=1)
+    assert abs(np.median(r) - 0.05) < 0.004
+    assert dec.is_watertight()
+    assert dec.vertex_colors is not None
+    np.testing.assert_allclose(dec.vertex_colors.mean(axis=0), [200.0, 40.0, 90.0], atol=1e-6)
+
+    # explicit voxel size path + no-op when already small
+    dec2 = decimate_mesh(mesh, voxel_size=0.02)
+    assert len(dec2.faces) < len(mesh.faces)
+    same = decimate_mesh(dec, target_tris=10000)
+    assert len(same.faces) == len(dec.faces)
