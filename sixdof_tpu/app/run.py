@@ -94,6 +94,7 @@ def main(args):
     est = FoundationPose(
         model_pts=mesh.vertices, model_normals=mesh.vertex_normals, mesh=mesh,
         scorer=scorer, refiner=refiner, debug_dir=debug_dir, debug=debug,
+        prune_to=args.prune_to or None,
     )
     if args.max_hypotheses and len(est.rot_grid) > args.max_hypotheses:
         step = len(est.rot_grid) // args.max_hypotheses
@@ -298,6 +299,10 @@ def build_parser():
     parser.add_argument("--capture_every", type=int, default=None,
                         help="auto-trigger defect capture every N frames (headless demo)")
     parser.add_argument("--no_server", action="store_true", help="skip the viewer thread")
+    parser.add_argument("--prune_to", type=int, default=64,
+                        help="coarse-to-fine registration: keep this many "
+                             "hypotheses after 2 coarse iterations (0 = full "
+                             "grid for all iterations, the reference behavior)")
     parser.add_argument("--max_hypotheses", type=int, default=None,
                         help="cap the rotation grid (speed/quality tradeoff)")
     return parser
