@@ -172,11 +172,15 @@ class DataReader(_ReaderCommon):
     def __init__(self, base_dir, downscale=1, shorter_side=None, zfar=np.inf, arguments=None):
         import cv2
 
+        import threading
+
         self.base_dir = base_dir
         self.downscale = downscale
         self.zfar = zfar
         self.color_files = sorted(glob.glob(f"{self.base_dir}/rgb/*.png"))
         self.file_id = 0
+        self._pf_cache = {}
+        self._pf_lock = threading.Lock()
         self.parameters = self.update_config(arguments)
         self.get_intrinsics()
         self.get_extrinsics()
@@ -236,19 +240,48 @@ class DataReader(_ReaderCommon):
         self.depth_pinhole = self.build_pinhole_intrinsics(self.depth_W, self.depth_H, self.depth_K)
         self.color_pinhole = self.build_pinhole_intrinsics(self.color_W, self.color_H, self.color_K)
 
-    def get_color(self, i=0):
+    def _load_color(self, i):
         import cv2
 
         color = cv2.imread(self.color_files[i], cv2.IMREAD_COLOR)[..., ::-1]  # BGR->RGB
         return cv2.resize(color, (self.color_W, self.color_H), interpolation=cv2.INTER_NEAREST)
 
-    def get_depth(self, i=0):
+    def _load_depth(self, i):
         import cv2
 
         depth = cv2.imread(self.color_files[i].replace("rgb", "depth"), -1) / 1e3
         depth = cv2.resize(depth, (self.color_W, self.color_H), interpolation=cv2.INTER_NEAREST)
         depth[(depth < 0.001) | (depth >= self.zfar)] = 0
         return depth
+
+    def _prefetched(self, kind, i, loader):
+        """Serve frame i, then decode frame i+1 on a background thread so the
+        tracking loop's disk+PNG-decode cost overlaps the device step (the
+        live KinectReader gets this overlap for free from the camera driver;
+        offline replay should match)."""
+        import threading
+
+        with self._pf_lock:
+            entry = self._pf_cache.get(kind)
+            val = entry[1] if entry is not None and entry[0] == i else None
+        if val is None:
+            val = loader(i)
+        nxt = i + 1
+        if nxt < len(self.color_files):
+
+            def work():
+                out = loader(nxt)
+                with self._pf_lock:
+                    self._pf_cache[kind] = (nxt, out)  # one frame per kind ahead
+
+            threading.Thread(target=work, daemon=True).start()
+        return val
+
+    def get_color(self, i=0):
+        return self._prefetched("color", i, self._load_color)
+
+    def get_depth(self, i=0):
+        return self._prefetched("depth", i, self._load_depth)
 
     def get_source(self, i=0):
         pcd_path = (

@@ -457,8 +457,29 @@ def render_batch(
         from .pallas.raster_kernel import group_coefficients, rasterize_zbuffer_pallas
 
         pc = 128
-        grouped = group_coefficients(coef, valid, tri_chunk=pc)
-        zbuf_flat, tid_flat = rasterize_zbuffer_pallas(grouped, H, W, tri_chunk=pc)
+        if backface_cull:
+            # compact valid triangles to the front per pose so the kernel's
+            # per-tile chunk skip (counts) drops the backface chunks —
+            # without this, culled triangles still occupy chunks and culling
+            # saves nothing in the flat path (z-buffering is order-
+            # independent, so reordering is free; tid is mapped back through
+            # the permutation).  Bit-exact vs the uncompacted path.
+            order = jnp.argsort(~valid, axis=1, stable=True)  # (B,T) valid-first
+            coef_c = jnp.take_along_axis(coef, order[..., None, None], axis=1)
+            valid_c = jnp.take_along_axis(valid, order, axis=1)
+            counts = valid.sum(axis=1).astype(jnp.int32)  # (B,)
+            grouped = group_coefficients(coef_c, valid_c, tri_chunk=pc)
+            zbuf_flat, tid_c = rasterize_zbuffer_pallas(
+                grouped, H, W, tri_chunk=pc, counts=counts[:, None],  # (B, n_tiles) bcast
+            )
+            # compacted tid -> original triangle id
+            tid_orig = jnp.take_along_axis(
+                order, jnp.maximum(tid_c, 0).astype(jnp.int64), axis=1
+            )
+            tid_flat = jnp.where(tid_c >= 0, tid_orig.astype(jnp.int32), -1)
+        else:
+            grouped = group_coefficients(coef, valid, tri_chunk=pc)
+            zbuf_flat, tid_flat = rasterize_zbuffer_pallas(grouped, H, W, tri_chunk=pc)
         tid = tid_flat.reshape(B, H, W)
         zbuf = zbuf_flat.reshape(B, H, W)
     else:
