@@ -187,7 +187,7 @@ def make_scorer_batch(key, mesh: MeshArrays, K, mesh_diameter, cfg: TrainConfig,
 
     L = cfg.n_hypotheses
     N = n_scenes * L
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
     gt = _random_poses(k1, n_scenes, cfg.z_range)  # (ns,4,4)
     gt = jnp.repeat(gt, L, axis=0)  # (ns*L,4,4)
     # graded perturbations: hypothesis 0 of each scene near-perfect; the top
@@ -200,6 +200,16 @@ def make_scorer_batch(key, mesh: MeshArrays, K, mesh_diameter, cfg: TrainConfig,
     )
     rot_amp = jnp.where(scale > 0.5, jnp.pi, 0.6 * scale)
     dw = jax.random.uniform(k3, (N, 3), minval=-1, maxval=1) * rot_amp[:, None]
+    # hard negatives: random big rotations almost never land on the EXACT
+    # 180-deg flip — the single hardest case at inference (a flipped render
+    # matches the silhouette and depth; only texture disagrees).  Force the
+    # two rungs just past mid-ladder to be exact pi flips about a random
+    # in-image-plane axis with only small residual noise.
+    is_flip = (scale > 0.5) & (scale <= 0.5 + 2.0 / jnp.maximum(L - 1, 1))
+    ang = jax.random.uniform(k4, (N,), minval=0.0, maxval=2 * jnp.pi)
+    flip_axis = jnp.stack([jnp.cos(ang), jnp.sin(ang), jnp.zeros_like(ang)], axis=-1)
+    flip_w = flip_axis * jnp.pi + 0.05 * dw
+    dw = jnp.where(is_flip[:, None], flip_w, dw)
     hyp = egocentric_delta_pose_to_pose(gt, dt, so3_exp_map(dw))
 
     tf_to_crops = compute_crop_window_tf_batch(
