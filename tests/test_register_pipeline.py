@@ -1,0 +1,91 @@
+"""The fused register cascade (register_pipeline_jit) must match the staged
+refine -> score -> prune -> refine -> score path it replaced."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sixdof_tpu.io.mesh_io import TriMesh
+from sixdof_tpu.models.networks import RefineNet, ScoreNetMultiPair
+from sixdof_tpu.models.predict import (
+    refine_poses_jit,
+    register_pipeline_jit,
+    score_poses_jit,
+)
+from sixdof_tpu.ops.geometry import depth2xyzmap
+from sixdof_tpu.ops.rasterize import make_mesh_arrays
+
+
+def _setup():
+    v = np.array(
+        [[-0.04, -0.03, -0.02], [0.04, -0.03, -0.02], [0.04, 0.03, -0.02], [-0.04, 0.03, -0.02],
+         [-0.04, -0.03, 0.02], [0.04, -0.03, 0.02], [0.04, 0.03, 0.02], [-0.04, 0.03, 0.02]]
+    )
+    f = np.array([[0, 2, 1], [0, 3, 2], [4, 5, 6], [4, 6, 7], [0, 1, 5], [0, 5, 4],
+                  [2, 3, 7], [2, 7, 6], [1, 2, 6], [1, 6, 5], [3, 0, 4], [3, 4, 7]])
+    arrays = make_mesh_arrays(TriMesh(v, f))
+    K = jnp.asarray([[300.0, 0, 80], [0, 300.0, 60], [0, 0, 1]], dtype=jnp.float32)
+    rng = np.random.RandomState(0)
+    from sixdof_tpu.ops.lie import so3_exp_map
+
+    n = 8
+    poses = np.tile(np.eye(4, dtype=np.float32)[None], (n, 1, 1))
+    poses[:, :3, :3] = np.asarray(so3_exp_map(jnp.asarray(rng.randn(n, 3) * 0.8,
+                                                          dtype=jnp.float32)))
+    poses[:, :3, 3] = [0.0, 0.0, 0.5]
+    rgb01 = jnp.asarray(rng.rand(120, 160, 3), dtype=jnp.float32)
+    depth = jnp.full((120, 160), 0.5, dtype=jnp.float32)
+    model = RefineNet(c_in=6)
+    hw = (32, 32)
+    dummy = jnp.zeros((1, *hw, 6), dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), dummy, dummy)["params"]
+    smodel = ScoreNetMultiPair(c_in=6)
+    # non-degenerate score head (the default is zero-init for training)
+    sparams = smodel.init(jax.random.PRNGKey(1), dummy, dummy, 1)["params"]
+    sparams["linear"]["kernel"] = jax.random.normal(jax.random.PRNGKey(2),
+                                                    sparams["linear"]["kernel"].shape) * 0.05
+    return arrays, K, jnp.asarray(poses), rgb01, depth, model, params, smodel, sparams, hw
+
+
+def test_fused_register_matches_staged():
+    arrays, K, poses, rgb01, depth, model, params, smodel, sparams, hw = _setup()
+    diam, cr, tn, rn = 0.1, 1.2, 0.02, 0.3490658503988659
+    prune_to, coarse_iters, iters = 4, 1, 3
+    chw = (16, 16)
+
+    fused_poses, fused_scores = register_pipeline_jit(
+        model, params, smodel, sparams, arrays, poses, rgb01, depth, K,
+        diam, cr, tn, rn, prune_to=prune_to, coarse_iters=coarse_iters,
+        iterations=iters, out_hw=hw, coarse_hw=chw, score_mode="hybrid",
+    )
+
+    # staged reference
+    xyz = depth2xyzmap(depth, K)
+    coarse = refine_poses_jit(model, params, arrays, poses, rgb01, xyz, K, diam,
+                              cr, tn, rn, iterations=coarse_iters, out_hw=chw)
+    cs = score_poses_jit(smodel, sparams, arrays, coarse, rgb01, xyz, K, diam, cr,
+                         out_hw=chw, mode="hybrid")
+    keep = np.argsort(-np.asarray(cs))[:prune_to]
+    fine = refine_poses_jit(model, params, arrays, coarse[keep], rgb01, xyz, K, diam,
+                            cr, tn, rn, iterations=iters - coarse_iters, out_hw=hw)
+    fs = score_poses_jit(smodel, sparams, arrays, fine, rgb01, xyz, K, diam, cr,
+                         out_hw=hw, mode="hybrid")
+    order = np.argsort(-np.asarray(fs))
+
+    np.testing.assert_allclose(np.asarray(fused_poses), np.asarray(fine)[order],
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fused_scores), np.asarray(fs)[order],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_register_no_prune():
+    """prune_to=0 runs the full grid for all iterations (reference behavior)."""
+    arrays, K, poses, rgb01, depth, model, params, smodel, sparams, hw = _setup()
+    diam, cr, tn, rn = 0.1, 1.2, 0.02, 0.3490658503988659
+    fused_poses, fused_scores = register_pipeline_jit(
+        model, params, smodel, sparams, arrays, poses, rgb01, depth, K,
+        diam, cr, tn, rn, prune_to=0, coarse_iters=2, iterations=2,
+        out_hw=hw, coarse_hw=None, score_mode="depth",
+    )
+    assert fused_poses.shape == poses.shape
+    s = np.asarray(fused_scores)
+    assert (np.diff(s) <= 1e-6).all()  # sorted descending
