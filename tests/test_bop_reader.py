@@ -149,3 +149,27 @@ def test_convert_demo_scene_to_bop(tmp_path):
     mesh = r.get_gt_mesh()
     assert 0.05 < r.get_model_diameter() < 0.2
     assert len(mesh.vertices) > 100
+
+
+@pytest.mark.slow
+def test_run_bop_campaign_smoke(tmp_path):
+    """Full BOP campaign hermetically: convert the demo scene, register one
+    frame + track one through run_bop, expect sane ADD-S (hypotheses capped
+    so the CPU register stays fast)."""
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    scene_src = os.path.join(repo, "demo_data", "synth_box")
+    if not os.path.exists(os.path.join(scene_src, "rgb")):
+        pytest.skip("demo scene not generated")
+    from tools.convert_scene_to_bop import main as convert
+    from tools.run_bop import main as run_bop
+
+    bop_scene = convert(scene_src, str(tmp_path), obj_id=1)
+    out = run_bop(bop_scene, frames=2, shorter_side=288, prune_to=0,
+                  max_hypotheses=24)
+    assert out["frames"] == 2
+    assert out["registered_frames"] == 1
+    # trained weights + 24 hypotheses on CPU: expect a sub-diameter pose
+    assert out["adds_mean_m"] < 0.5 * out["diameter_m"], out

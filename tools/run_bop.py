@@ -26,7 +26,7 @@ sys.path.insert(0, REPO)
 
 
 def main(scene_dir, ob_id=None, frames=None, register_every=0, weights="weights",
-         shorter_side=None, prune_to=64):
+         shorter_side=None, prune_to=64, max_hypotheses=None):
     import logging
 
     logging.disable(logging.INFO)
@@ -56,6 +56,9 @@ def main(scene_dir, ob_id=None, frames=None, register_every=0, weights="weights"
         scorer=ScorePredictor(ckpt_dir=sckpt if os.path.exists(sckpt) else None),
         prune_to=prune_to,
     )
+    if max_hypotheses and len(est.rot_grid) > max_hypotheses:
+        step = len(est.rot_grid) // max_hypotheses
+        est.rot_grid = est.rot_grid[::step][:max_hypotheses]
     model_pts = np.asarray(est.pts) + est.model_center
 
     n = min(frames or len(reader), len(reader))
