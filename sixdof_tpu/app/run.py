@@ -95,6 +95,7 @@ def main(args):
         model_pts=mesh.vertices, model_normals=mesh.vertex_normals, mesh=mesh,
         scorer=scorer, refiner=refiner, debug_dir=debug_dir, debug=debug,
         prune_to=args.prune_to or None,
+        prune_schedule=_parse_prune_schedule(getattr(args, "prune_schedule", "")),
     )
     if args.max_hypotheses and len(est.rot_grid) > args.max_hypotheses:
         step = len(est.rot_grid) // args.max_hypotheses
@@ -305,7 +306,22 @@ def build_parser():
                              "grid for all iterations, the reference behavior)")
     parser.add_argument("--max_hypotheses", type=int, default=None,
                         help="cap the rotation grid (speed/quality tradeoff)")
+    parser.add_argument("--prune_schedule", type=str, default="",
+                        help="progressive coarse pruning stages as "
+                             "'ITERSxKEEP,...' (e.g. '1x128,1x64'); overrides "
+                             "--prune_to's single two-iteration cut")
     return parser
+
+
+def _parse_prune_schedule(spec: str):
+    """'1x128,1x64' -> ((1, 128), (1, 64)); empty/None -> None."""
+    if not spec:
+        return None
+    stages = []
+    for part in spec.split(","):
+        iters, keep = part.lower().split("x")
+        stages.append((int(iters), int(keep)))
+    return tuple(stages)
 
 
 if __name__ == "__main__":

@@ -31,11 +31,14 @@ class FoundationPose:
     def __init__(self, model_pts, model_normals, symmetry_tfs=None, mesh: TriMesh = None,
                  scorer: ScorePredictor = None, refiner: PoseRefinePredictor = None,
                  glctx=None, debug=0, debug_dir="debug/fp", prune_to=None,
-                 device_mesh=None, coarse_hw=(96, 96)):
+                 device_mesh=None, coarse_hw=(96, 96), prune_schedule=None):
         """@prune_to: optional coarse-to-fine registration — after 2 refine
         iterations over the full rotation grid, keep only the prune_to
         best-scoring hypotheses for the remaining iterations (roughly halves
         registration FLOPs; not in the reference).
+        @prune_schedule: optional tuple of (iters, keep) coarse stages for
+        progressive pruning (e.g. ((1, 128), (1, 64))); overrides prune_to's
+        single two-iteration cut.  See models/predict.py::register_pipeline_jit.
         @coarse_hw: crop resolution for the full-grid coarse phase when
         prune_to is set (the survivors refine at the cfg's full resolution).
         Raster work scales with pixels, and the full-grid phase dominates
@@ -46,6 +49,8 @@ class FoundationPose:
         self.gt_pose = None
         self.ignore_normal_flip = True
         self.prune_to = prune_to
+        self.prune_schedule = tuple(tuple(s) for s in prune_schedule) \
+            if prune_schedule else None
         self.coarse_hw = tuple(coarse_hw) if coarse_hw is not None else None
         self.device_mesh = device_mesh
         self.debug = debug
@@ -189,6 +194,7 @@ class FoundationPose:
                 float(ref.cfg["crop_ratio"]), float(ref.cfg["trans_normalizer"]),
                 float(ref.cfg["rot_normalizer"]),
                 prune_to=int(self.prune_to) if self.prune_to else 0,
+                prune_schedule=self.prune_schedule,
                 coarse_iters=2, iterations=int(iteration),
                 out_hw=tuple(ref.cfg["input_resize"]), coarse_hw=self.coarse_hw,
                 normalize_xyz=bool(ref.cfg["normalize_xyz"]),
@@ -207,12 +213,18 @@ class FoundationPose:
             return best_pose
 
         xyz_map = depth2xyzmap(depth, jnp.asarray(K, dtype=jnp.float32))
-        if self.prune_to and self.prune_to < len(poses) and iteration > 2:
+        schedule = self.prune_schedule
+        if schedule is None and self.prune_to and self.prune_to < len(poses) \
+                and iteration > 2:
             # coarse-to-fine: 2 iterations on the full grid, score, keep top-K
+            schedule = ((2, self.prune_to),)
+        for stage_iters, keep_k in schedule or ():
+            if keep_k >= n_hypo or iteration <= stage_iters:
+                continue
             coarse, _ = self.refiner.predict(
                 mesh=self.mesh, mesh_tensors=self.mesh_tensors, rgb=rgb, depth=depth,
                 K=K, ob_in_cams=poses, xyz_map=xyz_map, glctx=None,
-                mesh_diameter=self.diameter, iteration=2, get_vis=False,
+                mesh_diameter=self.diameter, iteration=stage_iters, get_vis=False,
                 out_hw=self.coarse_hw,
             )
             coarse_scores, _ = self.scorer.predict(
@@ -220,7 +232,7 @@ class FoundationPose:
                 mesh_tensors=self.mesh_tensors, glctx=None, mesh_diameter=self.diameter,
                 out_hw=self.coarse_hw,
             )
-            keep = np.argsort(-np.asarray(coarse_scores)[:n_hypo])[: self.prune_to]
+            keep = np.argsort(-np.asarray(coarse_scores)[:n_hypo])[:keep_k]
             poses = np.asarray(coarse)[keep]
             n_hypo = len(poses)
             if self.device_mesh is not None:
@@ -229,7 +241,7 @@ class FoundationPose:
                 poses, n_hypo = shard_hypotheses(
                     jnp.asarray(poses, dtype=jnp.float32), self.device_mesh
                 )
-            iteration = iteration - 2
+            iteration = iteration - stage_iters
         poses, vis = self.refiner.predict(
             mesh=self.mesh, mesh_tensors=self.mesh_tensors, rgb=rgb, depth=depth,
             K=K, ob_in_cams=poses, xyz_map=xyz_map, glctx=None,

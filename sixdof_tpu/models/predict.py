@@ -241,20 +241,26 @@ def score_poses_jit(
     jax.jit,
     static_argnames=("rmodel", "smodel", "prune_to", "coarse_iters", "iterations",
                      "out_hw", "coarse_hw", "normalize_xyz", "trans_rep", "rot_rep",
-                     "score_mode", "backface_cull"),
+                     "score_mode", "backface_cull", "prune_schedule"),
 )
 def register_pipeline_jit(
     rmodel, rparams, smodel, sparams, mesh: MeshArrays, poses, rgb01, depth, K,
     mesh_diameter, crop_ratio, trans_normalizer, rot_normalizer,
     prune_to, coarse_iters, iterations, out_hw=(160, 160), coarse_hw=None,
     normalize_xyz=False, trans_rep="tracknet", rot_rep="axis_angle",
-    score_mode="hybrid", backface_cull=False,
+    score_mode="hybrid", backface_cull=False, prune_schedule=None,
 ):
     """The ENTIRE registration cascade as one device program: coarse refine
     over the full grid -> score -> top-K prune -> full-resolution refine ->
     score -> sort.  One host round trip for the whole thing (the staged path
     pays ~6 transfers; each costs ~45ms tunnel latency — see estimater.py).
 
+    @prune_schedule: optional static tuple of (iters, keep) stages run at
+    coarse_hw — progressive pruning (e.g. ((1, 128), (1, 64)) refines the
+    full grid 1 iter, keeps 128, refines 1 iter, keeps 64) spends fewer
+    coarse pose-iterations than the single two-iteration cut it replaces.
+    Overrides (coarse_iters, prune_to); the remaining
+    iterations - sum(stage iters) run at out_hw on the final survivor set.
     @depth: already-filtered depth (the host needs it for guess_translation
     and the degenerate-mask fallback, so filtering stays a separate step).
     Returns (sorted_poses (K,4,4), sorted_scores (K,)).
@@ -277,13 +283,18 @@ def register_pipeline_jit(
             hw, normalize_xyz, score_mode, backface_cull,
         )
 
-    if prune_to and prune_to < n and iterations > coarse_iters:
+    if prune_schedule is None and prune_to and prune_to < n and iterations > coarse_iters:
+        prune_schedule = ((coarse_iters, prune_to),)
+    if prune_schedule:
         chw = coarse_hw or out_hw
-        poses = refine(poses, coarse_iters, chw)
-        coarse_scores = score(poses, chw)
-        _, keep = jax.lax.top_k(coarse_scores, prune_to)
-        poses = poses[keep]
-        iterations = iterations - coarse_iters
+        for stage_iters, keep_k in prune_schedule:
+            if keep_k >= poses.shape[0] or iterations <= stage_iters:
+                continue
+            poses = refine(poses, stage_iters, chw)
+            stage_scores = score(poses, chw)
+            _, keep = jax.lax.top_k(stage_scores, keep_k)
+            poses = poses[keep]
+            iterations = iterations - stage_iters
     poses = refine(poses, iterations, out_hw)
     scores = score(poses, out_hw)
     order = jnp.argsort(-scores)

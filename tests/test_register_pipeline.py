@@ -89,3 +89,41 @@ def test_fused_register_no_prune():
     assert fused_poses.shape == poses.shape
     s = np.asarray(fused_scores)
     assert (np.diff(s) <= 1e-6).all()  # sorted descending
+
+
+def test_fused_register_progressive_schedule():
+    """prune_schedule=((1,6),(1,4)) must match the staged progressive path."""
+    arrays, K, poses, rgb01, depth, model, params, smodel, sparams, hw = _setup()
+    diam, cr, tn, rn = 0.1, 1.2, 0.02, 0.3490658503988659
+    chw = (16, 16)
+    schedule = ((1, 6), (1, 4))
+    iters = 4
+
+    fused_poses, fused_scores = register_pipeline_jit(
+        model, params, smodel, sparams, arrays, poses, rgb01, depth, K,
+        diam, cr, tn, rn, prune_to=0, coarse_iters=2, iterations=iters,
+        out_hw=hw, coarse_hw=chw, score_mode="hybrid", prune_schedule=schedule,
+    )
+
+    xyz = depth2xyzmap(depth, K)
+    p = poses
+    remaining = iters
+    for stage_iters, keep_k in schedule:
+        p = refine_poses_jit(model, params, arrays, p, rgb01, xyz, K, diam,
+                             cr, tn, rn, iterations=stage_iters, out_hw=chw)
+        s = score_poses_jit(smodel, sparams, arrays, p, rgb01, xyz, K, diam, cr,
+                            out_hw=chw, mode="hybrid")
+        keep = np.argsort(-np.asarray(s))[:keep_k]
+        p = p[jnp.asarray(keep)]
+        remaining -= stage_iters
+    p = refine_poses_jit(model, params, arrays, p, rgb01, xyz, K, diam,
+                         cr, tn, rn, iterations=remaining, out_hw=hw)
+    fs = score_poses_jit(smodel, sparams, arrays, p, rgb01, xyz, K, diam, cr,
+                         out_hw=hw, mode="hybrid")
+    order = np.argsort(-np.asarray(fs))
+
+    assert fused_poses.shape == (4, 4, 4)
+    np.testing.assert_allclose(np.asarray(fused_poses), np.asarray(p)[order],
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fused_scores), np.asarray(fs)[order],
+                               rtol=1e-5, atol=1e-5)
