@@ -45,6 +45,9 @@ class TrainConfig(NamedTuple):
     rot_normalizer: float = 0.3490658503988659
     n_hypotheses: int = 8  # per scene, scorer
     z_range: tuple = (0.4, 0.8)
+    # probability a B crop gets a random foreground occluder (see
+    # _crop_occluder: real scenes occlude; unoccluded-only pairs diverge)
+    p_occlusion: float = 0.5
 
 
 def _random_poses(key, n, z_range):
@@ -105,6 +108,69 @@ def _crop_background(key, tf_to_crops, K, z_obj, out_hw):
     return rgb_bg, xyz_bg
 
 
+def _crop_occluder(key, tf_to_crops, K, z_obj, out_hw, p_occ=0.5):
+    """Random foreground occluder for the B (real-image) crop.
+
+    The clutter/occlusion scenes showed the refiner diverging (5-deg
+    perturbations -> ~60 deg) on partially-occluded objects even when the
+    object was IN the training set: unoccluded pairs teach the net to treat
+    every object pixel as visible, and a ~25%-occluded real crop pulls the
+    translation toward the visible fragment.  This composites a random
+    ellipse at a depth IN FRONT of the object (own texture, correct
+    backprojected xyz) over ~p_occ of the samples.
+    Returns (occ (B,H,W,1) bool, rgb_occ, xyz_occ).
+    """
+    H, W = out_hw
+    Bn = tf_to_crops.shape[0]
+    kz, kc, kr, ka, kg, kt = jax.random.split(key, 6)
+    zocc = jnp.maximum(z_obj - jax.random.uniform(kz, (Bn,), minval=0.05, maxval=0.25), 0.08)
+
+    c = jax.random.uniform(kc, (Bn, 2, 1, 1), minval=0.1, maxval=0.9)
+    cx, cy = c[:, 0] * W, c[:, 1] * H
+    r = jax.random.uniform(kr, (Bn, 2, 1, 1), minval=0.08, maxval=0.3)
+    rx, ry = r[:, 0] * W, r[:, 1] * H
+    ang = jax.random.uniform(ka, (Bn, 1, 1), minval=0.0, maxval=jnp.pi)
+    gate = jax.random.bernoulli(kg, p_occ, (Bn, 1, 1))
+
+    xs = jnp.arange(W, dtype=jnp.float32)[None, None, :]
+    ys = jnp.arange(H, dtype=jnp.float32)[None, :, None]
+    dx = xs - cx
+    dy = ys - cy
+    xr = dx * jnp.cos(ang) + dy * jnp.sin(ang)
+    yr = -dx * jnp.sin(ang) + dy * jnp.cos(ang)
+    occ = (((xr / rx) ** 2 + (yr / ry) ** 2) < 1.0) & gate  # (B,H,W)
+
+    # crop pixel -> full-image ray -> xyz at the occluder depth (same math
+    # as _crop_background, nearer plane)
+    gx, gy = jnp.meshgrid(xs[0, 0], ys[0, :, 0])
+    grid = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1)
+    inv = jnp.linalg.inv(tf_to_crops)
+    full = jnp.einsum("bij,hwj->bhwi", inv, grid)
+    u = full[..., 0] / full[..., 2]
+    v = full[..., 1] / full[..., 2]
+    z = zocc[:, None, None]
+    xyz_occ = jnp.stack(
+        [(u - K[0, 2]) / K[0, 0] * z, (v - K[1, 2]) / K[1, 1] * z,
+         jnp.broadcast_to(z, u.shape)], axis=-1)
+
+    kb, kf = jax.random.split(kt)
+    base = jax.random.uniform(kb, (Bn, 1, 1, 3), minval=0.05, maxval=0.9)
+    fine = jax.random.uniform(kf, (Bn, 16, 16, 3), minval=-0.3, maxval=0.3)
+    rgb_occ = jnp.clip(base + jax.image.resize(fine, (Bn, H, W, 3), method="linear"),
+                       0.0, 1.0)
+    return occ[..., None], rgb_occ, xyz_occ
+
+
+def _apply_occluder(key, tf_to_crops, K, z_obj, out_hw, rgbB, xyzB, p_occ=0.5):
+    """Composite a random occluder over B and erode its depth boundary."""
+    occ, rgb_occ, xyz_occ = _crop_occluder(key, tf_to_crops, K, z_obj, out_hw, p_occ)
+    rgbB = jnp.where(occ, rgb_occ, rgbB)
+    xyzB = jnp.where(occ, xyz_occ, xyzB)
+    # erode_depth invalidates the depth discontinuity ring at the occluder
+    # boundary exactly like the object silhouette
+    return rgbB, _erode_edges(occ.astype(jnp.float32), xyzB, jnp.zeros_like(xyzB))
+
+
 def _erode_edges(alpha, xyz, fill, r=2):
     """Simulate erode_depth's boundary invalidation: pixels within r of the
     object silhouette lose their depth at inference (ops/depth_filter.py), so
@@ -153,6 +219,10 @@ def make_refiner_batch(key, mesh: MeshArrays, K, mesh_diameter, cfg: TrainConfig
     rgbB = jnp.where(aB > 0, rendB["color"], rgb_bg)
     xyzB = jnp.where(aB > 0, xyzB, xyz_bg)
     xyzB = _erode_edges(aB, xyzB, jnp.zeros_like(xyzB))
+    if cfg.p_occlusion > 0:
+        kocc = jax.random.fold_in(k4, 1)
+        rgbB, xyzB = _apply_occluder(kocc, tf_to_crops, K, gt[:, 2, 3].mean(),
+                                     cfg.input_hw, rgbB, xyzB, cfg.p_occlusion)
 
     A = jnp.concatenate([rendA["color"], rendA["xyz_map"] - center], axis=-1)
     B = jnp.concatenate([rgbB, xyzB - center], axis=-1)
@@ -227,6 +297,10 @@ def make_scorer_batch(key, mesh: MeshArrays, K, mesh_diameter, cfg: TrainConfig,
     rgbB = jnp.where(aB > 0, rendB["color"], rgb_bg)
     xyzB = jnp.where(aB > 0, xyzB, xyz_bg)
     xyzB = _erode_edges(aB, xyzB, jnp.zeros_like(xyzB))
+    if cfg.p_occlusion > 0:
+        kocc = jax.random.fold_in(knz, 1)
+        rgbB, xyzB = _apply_occluder(kocc, tf_to_crops, K, gt[:, 2, 3].mean(),
+                                     cfg.input_hw, rgbB, xyzB, cfg.p_occlusion)
     A = jnp.concatenate([rendA["color"], rendA["xyz_map"] - center], axis=-1)
     B = jnp.concatenate([rgbB, xyzB - center], axis=-1)
     # ADD proxy: mean vertex displacement between hypothesis and gt

@@ -9,6 +9,8 @@ import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np, jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from sixdof_tpu.estimater import FoundationPose
 from sixdof_tpu.io.mesh_io import load_mesh
 from sixdof_tpu.io.readers import DataReader
@@ -18,11 +20,13 @@ from sixdof_tpu.ops.geometry import depth2xyzmap
 from sixdof_tpu.ops.lie import euler_matrix
 
 class Args: debug=0; box=None; mesh=None; voxel_size=None
-SCENE=os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), 'demo_data', 'synth_box')
+SCENE=os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), 'demo_data',
+                   sys.argv[1] if len(sys.argv) > 1 else 'synth_box')
 reader = DataReader(base_dir=SCENE, shorter_side=None, zfar=np.inf, arguments=Args())
 mesh = load_mesh(f'{SCENE}/mesh/model_scaled_down.obj')
-ref = PoseRefinePredictor(ckpt_dir=os.path.join(os.path.dirname(SCENE), '..', 'weights', 'refiner'))
-sc = ScorePredictor(ckpt_dir=os.path.join(os.path.dirname(SCENE), '..', 'weights', 'scorer'))
+WDIR = os.environ.get('WEIGHTS_DIR', 'weights')
+ref = PoseRefinePredictor(ckpt_dir=os.path.join(os.path.dirname(SCENE), '..', WDIR, 'refiner'))
+sc = ScorePredictor(ckpt_dir=os.path.join(os.path.dirname(SCENE), '..', WDIR, 'scorer'))
 est = FoundationPose(model_pts=mesh.vertices, model_normals=mesh.vertex_normals, mesh=mesh, refiner=ref, scorer=sc)
 model_pts = np.asarray(est.pts)
 
