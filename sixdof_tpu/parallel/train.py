@@ -325,6 +325,67 @@ def scorer_loss(model, params, A, B, target):
     return ce + 0.3 * reg
 
 
+_TX_CACHE = {}
+
+
+def _shared_adam(lr):
+    """One optax.adam instance per lr: the jitted step functions below take
+    tx as a static argument, so trainer instances must share the SAME
+    GradientTransformation object to share a compile."""
+    if lr not in _TX_CACHE:
+        _TX_CACHE[lr] = optax.adam(lr)
+    return _TX_CACHE[lr]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "cfg", "tx", "device_mesh"),
+    donate_argnums=(0, 1),
+)
+def _refiner_step(params, opt_state, key, mesh_arrays, K, diam, *, model, cfg, tx,
+                  device_mesh=None):
+    """Module-level jitted step with the MESH DATA as traced arguments: all
+    trainers whose meshes share a topology (same vertex/face counts, both
+    textured or both vertex-colored) share ONE compiled program — the
+    prerequisite for round-robin training over many procedural objects
+    (N objects, 1 compile) instead of N closure-captured recompiles."""
+    A, B, tdt, tdw = make_refiner_batch(key, mesh_arrays, K, diam, cfg)
+    if device_mesh is not None:
+        sh = data_sharding(device_mesh)
+        A = jax.lax.with_sharding_constraint(A, sh)
+        B = jax.lax.with_sharding_constraint(B, sh)
+
+    def loss_fn(p):
+        return refiner_loss(model, p, A, B, tdt, tdw, cfg)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "cfg", "tx", "device_mesh"),
+    donate_argnums=(0, 1),
+)
+def _scorer_step(params, opt_state, key, mesh_arrays, K, diam, *, model, cfg, tx,
+                 device_mesh=None):
+    A, B, target = make_scorer_batch(key, mesh_arrays, K, diam, cfg, n_scenes=4)
+    if device_mesh is not None:
+        sh = data_sharding(device_mesh)
+        A = jax.lax.with_sharding_constraint(A, sh)
+        B = jax.lax.with_sharding_constraint(B, sh)
+
+    def loss_fn(p):
+        return scorer_loss(model, p, A, B, target)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss
+
+
 class RefinerTrainer:
     """DP/TP-sharded training loop for the refiner."""
 
@@ -337,7 +398,7 @@ class RefinerTrainer:
         self.mesh_diameter = float(mesh_diameter)
         self.cfg = cfg
         self.device_mesh = device_mesh
-        self.tx = tx if tx is not None else optax.adam(cfg.lr)
+        self.tx = tx if tx is not None else _shared_adam(cfg.lr)
         if params is None:
             dummy = jnp.zeros((1, *cfg.input_hw, 6), dtype=jnp.float32)
             params = model.init(jax.random.PRNGKey(0), dummy, dummy)["params"]
@@ -350,28 +411,12 @@ class RefinerTrainer:
             rep = replicated(device_mesh)
             self.opt_state = jax.device_put(self.opt_state, rep)
 
-        model_ref = self.model
-        mesh_arrays_ref = self.mesh_arrays
-        K_ref = self.K
-        diam = self.mesh_diameter
-        cfg_ref = self.cfg
-
-        def step(params, opt_state, key):
-            A, B, tdt, tdw = make_refiner_batch(key, mesh_arrays_ref, K_ref, diam, cfg_ref)
-            if device_mesh is not None:
-                sh = data_sharding(device_mesh)
-                A = jax.lax.with_sharding_constraint(A, sh)
-                B = jax.lax.with_sharding_constraint(B, sh)
-
-            def loss_fn(p):
-                return refiner_loss(model_ref, p, A, B, tdt, tdw, cfg_ref)
-
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = self.tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, opt_state, loss
-
-        self._step = jax.jit(step, donate_argnums=(0, 1))
+    def _step(self, params, opt_state, key):
+        return _refiner_step(
+            params, opt_state, key, self.mesh_arrays, self.K,
+            jnp.float32(self.mesh_diameter), model=self.model, cfg=self.cfg,
+            tx=self.tx, device_mesh=self.device_mesh,
+        )
 
     def train(self, n_steps, key=None, log_every=10):
         import logging
@@ -395,32 +440,23 @@ class ScorerTrainer:
                  tx=None):
         self.model = model
         self.cfg = cfg
-        self.tx = tx if tx is not None else optax.adam(cfg.lr)
+        self.tx = tx if tx is not None else _shared_adam(cfg.lr)
         if params is None:
             dummy = jnp.zeros((cfg.n_hypotheses, *cfg.input_hw, 6), dtype=jnp.float32)
             params = model.init(jax.random.PRNGKey(0), dummy, dummy, cfg.n_hypotheses)["params"]
         self.params = params
         self.opt_state = self.tx.init(self.params)
-        K_ref = jnp.asarray(K, dtype=jnp.float32)
-        diam = float(mesh_diameter)
+        self.mesh_arrays = mesh_arrays
+        self.K = jnp.asarray(K, dtype=jnp.float32)
+        self.mesh_diameter = float(mesh_diameter)
+        self.device_mesh = device_mesh
 
-        def step(params, opt_state, key):
-            A, B, target = make_scorer_batch(key, mesh_arrays, K_ref, diam, cfg,
-                                             n_scenes=4)
-            if device_mesh is not None:
-                sh = data_sharding(device_mesh)
-                A = jax.lax.with_sharding_constraint(A, sh)
-                B = jax.lax.with_sharding_constraint(B, sh)
-
-            def loss_fn(p):
-                return scorer_loss(model, p, A, B, target)
-
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = self.tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, opt_state, loss
-
-        self._step = jax.jit(step, donate_argnums=(0, 1))
+    def _step(self, params, opt_state, key):
+        return _scorer_step(
+            params, opt_state, key, self.mesh_arrays, self.K,
+            jnp.float32(self.mesh_diameter), model=self.model, cfg=self.cfg,
+            tx=self.tx, device_mesh=self.device_mesh,
+        )
 
     def train(self, n_steps, key=None, log_every=10):
         import logging
