@@ -158,3 +158,32 @@ def test_sharded_register_hypothesis_axis():
     shard_s = np.asarray(run_score(sp))[:n]
     np.testing.assert_allclose(shard_s, single_s, rtol=1e-3)
     assert np.argmax(shard_s) == np.argmax(single_s)
+
+
+def test_procedural_objects_shared_topology():
+    """Procedural meshes: one topology, deterministic, usable by a train step."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sixdof_tpu.parallel.procgen import make_procedural_mesh
+    from sixdof_tpu.parallel.train import TrainConfig, make_refiner_batch
+    from sixdof_tpu.ops.rasterize import make_mesh_arrays
+
+    m1 = make_procedural_mesh(1, subdivisions=2)
+    m2 = make_procedural_mesh(2, subdivisions=2)
+    m1b = make_procedural_mesh(1, subdivisions=2)
+    assert m1.vertices.shape == m2.vertices.shape
+    assert (m1.faces == m2.faces).all()  # shared topology
+    np.testing.assert_array_equal(m1.vertices, m1b.vertices)  # deterministic
+    assert not np.allclose(m1.vertices, m2.vertices)  # distinct shapes
+    assert m1.vertex_colors.std() > 10  # non-degenerate texture
+    diam = np.linalg.norm(m1.vertices.max(0) - m1.vertices.min(0))
+    assert 0.05 < diam < 0.35
+
+    K = jnp.asarray([[300.0, 0, 80], [0, 300.0, 60], [0, 0, 1]])
+    cfg = TrainConfig(batch_size=2, input_hw=(32, 32))
+    A, B, dt, dw = make_refiner_batch(
+        jax.random.PRNGKey(0), make_mesh_arrays(m1), K, jnp.float32(0.12), cfg)
+    assert bool(jnp.isfinite(A).all() & jnp.isfinite(B).all())
+    assert float(jnp.abs(A).max()) > 0  # object actually rendered

@@ -45,6 +45,14 @@ def main(scene_dirs, refiner_steps=800, scorer_steps=400, out_dir=None):
     os.makedirs(out_dir, exist_ok=True)
 
     objects = []
+    n_proc = 0
+    scene_dirs = list(scene_dirs)
+    for s in list(scene_dirs):
+        # 'proc:N' appends N procedural objects (parallel/procgen.py) — shape
+        # diversity toward object-agnostic weights without per-object recompiles
+        if s.startswith("proc:"):
+            n_proc = int(s.split(":", 1)[1])
+            scene_dirs.remove(s)
     for scene_dir in scene_dirs:
         mesh = load_mesh(os.path.join(scene_dir, "mesh", "model_scaled_down.obj"))
         # train on the CENTERED mesh — estimater.reset_object centers it and
@@ -58,6 +66,14 @@ def main(scene_dirs, refiner_steps=800, scorer_steps=400, out_dir=None):
         K = np.array([[intr["fx"], 0, intr["cx"]], [0, intr["fy"], intr["cy"]], [0, 0, 1]])
         objects.append((arrays, K, diameter))
         logging.info(f"object {os.path.basename(scene_dir)}: diameter {diameter:.3f}")
+
+    if n_proc:
+        from sixdof_tpu.parallel.procgen import procedural_objects
+
+        K_proc = objects[0][1] if objects else np.array(
+            [[600.0, 0, 320], [0, 600.0, 240], [0, 0, 1]])
+        objects += procedural_objects(n_proc, K_proc)
+        logging.info(f"added {n_proc} procedural objects (shared topology)")
 
     cfg = TrainConfig(batch_size=32, input_hw=(160, 160), lr=1e-4,
                       z_range=(0.4, 0.8))
