@@ -108,7 +108,7 @@ def _crop_background(key, tf_to_crops, K, z_obj, out_hw):
     return rgb_bg, xyz_bg
 
 
-def _crop_occluder(key, tf_to_crops, K, z_obj, out_hw, p_occ=0.5):
+def _crop_occluder(key, tf_to_crops, K, z_obj, out_hw, p_occ=0.5, z_off=(0.05, 0.25)):
     """Random foreground occluder for the B (real-image) crop.
 
     The clutter/occlusion scenes showed the refiner diverging (5-deg
@@ -123,7 +123,8 @@ def _crop_occluder(key, tf_to_crops, K, z_obj, out_hw, p_occ=0.5):
     H, W = out_hw
     Bn = tf_to_crops.shape[0]
     kz, kc, kr, ka, kg, kt = jax.random.split(key, 6)
-    zocc = jnp.maximum(z_obj - jax.random.uniform(kz, (Bn,), minval=0.05, maxval=0.25), 0.08)
+    zocc = jnp.maximum(
+        z_obj - jax.random.uniform(kz, (Bn,), minval=z_off[0], maxval=z_off[1]), 0.08)
 
     c = jax.random.uniform(kc, (Bn, 2, 1, 1), minval=0.1, maxval=0.9)
     cx, cy = c[:, 0] * W, c[:, 1] * H
@@ -162,13 +163,25 @@ def _crop_occluder(key, tf_to_crops, K, z_obj, out_hw, p_occ=0.5):
 
 
 def _apply_occluder(key, tf_to_crops, K, z_obj, out_hw, rgbB, xyzB, p_occ=0.5):
-    """Composite a random occluder over B and erode its depth boundary."""
-    occ, rgb_occ, xyz_occ = _crop_occluder(key, tf_to_crops, K, z_obj, out_hw, p_occ)
-    rgbB = jnp.where(occ, rgb_occ, rgbB)
-    xyzB = jnp.where(occ, xyz_occ, xyzB)
-    # erode_depth invalidates the depth discontinuity ring at the occluder
-    # boundary exactly like the object silhouette
-    return rgbB, _erode_edges(occ.astype(jnp.float32), xyzB, jnp.zeros_like(xyzB))
+    """Z-composite random scene clutter over B and erode depth boundaries.
+
+    Two independent ellipses per sample: a near-front OCCLUDER (always wins
+    the z-test over the object) and a DISTRACTOR at roughly object depth
+    (wins only where it is nearer than the current surface — real clutter
+    sits beside/behind the object as often as in front of it)."""
+    k1, k2 = jax.random.split(key)
+    for kk, z_off, p in ((k1, (0.05, 0.25), p_occ), (k2, (-0.15, 0.05), p_occ)):
+        occ, rgb_occ, xyz_occ = _crop_occluder(kk, tf_to_crops, K, z_obj, out_hw, p, z_off)
+        # current per-pixel depth; invalid (xyz=0) pixels lose the z-test so
+        # clutter paints over invalidated background
+        zB = jnp.where(jnp.abs(xyzB[..., 2:3]) > 1e-6, xyzB[..., 2:3], jnp.inf)
+        win = occ & (xyz_occ[..., 2:3] < zB)
+        rgbB = jnp.where(win, rgb_occ, rgbB)
+        xyzB = jnp.where(win, xyz_occ, xyzB)
+        # erode_depth invalidates the depth-discontinuity ring at the
+        # occluder boundary exactly like the object silhouette
+        xyzB = _erode_edges(win.astype(jnp.float32), xyzB, jnp.zeros_like(xyzB))
+    return rgbB, xyzB
 
 
 def _erode_edges(alpha, xyz, fill, r=2):
