@@ -276,7 +276,8 @@ def _sample_texture(tex, uv):
 @functools.partial(
     jax.jit,
     static_argnames=("out_hw", "tri_chunk", "pose_chunk", "get_normal", "use_light",
-                     "use_pallas", "backface_cull", "band_min_tris"),
+                     "use_pallas", "backface_cull", "band_min_tris",
+                     "pallas_tri_chunk"),
 )
 def render_batch(
     mesh: MeshArrays,
@@ -287,6 +288,7 @@ def render_batch(
     znear=0.001,
     tri_chunk=64,
     pose_chunk=32,
+    pallas_tri_chunk=128,
     get_normal=False,
     use_light=True,
     w_ambient=0.8,
@@ -421,11 +423,11 @@ def render_batch(
     if use_banded:
         from .pallas.raster_kernel import group_banded, rasterize_zbuffer_pallas
 
-        pc = 128
+        pc = pallas_tri_chunk
         n_bands = H // band_rows
         # cap: generous static bound on per-band candidates; the kernel skips
         # chunks beyond each band's true count, so a large cap costs nothing
-        cap = int(min(T + ((-T) % pc), ((T // 2 + 127) // 128 + 1) * 128))
+        cap = int(min(T + ((-T) % pc), ((T // 2) // pc + 1) * pc))  # pc-multiple
         banded, ids_band = _bin_triangles_bands(
             coef, valid, uv_all[..., 1], mesh.faces, n_bands, band_rows, cap
         )
@@ -456,7 +458,7 @@ def render_batch(
     if use_pallas:
         from .pallas.raster_kernel import group_coefficients, rasterize_zbuffer_pallas
 
-        pc = 128
+        pc = pallas_tri_chunk
         if backface_cull:
             # compact valid triangles to the front per pose so the kernel's
             # per-tile chunk skip (counts) drops the backface chunks —
