@@ -181,12 +181,22 @@ def refine_poses_jit(
 
 
 def _depth_alignment_score(A, B, rend, poses, mesh_diameter):
-    """Analytic render-vs-observed consistency score (higher = better).
+    """Occlusion-aware analytic render-vs-observed score (higher = better).
 
-    Model-based alternative/complement to the learned scorer: compares the
-    hypothesis render's xyz map against the observed xyz map inside the crop.
-    Pixels the render covers but the sensor contradicts (or lacks) count
-    against the hypothesis; color agreement adds a small term.
+    Model-based alternative/complement to the learned scorer.  Visibility
+    reasoning per rendered pixel (the naive mean-distance score PENALIZES the
+    true pose under partial occlusion — the occluded quarter of the object
+    contributes max geometric error exactly when the hypothesis is right):
+
+      - observed NEARER than the render by > tau: an occluder in front of the
+        hypothesized surface — consistent with the hypothesis, excluded;
+      - |render - observed| <= tau: geometric support (inlier);
+      - observed FARTHER than the render by > tau: violation — the sensor
+        sees through where the hypothesis claims surface.
+
+    Color agreement is measured on the supporting pixels only: "where the
+    geometry matches, does the texture?" — the ~180-deg-flip discriminator
+    for near-symmetric shapes.
     """
     alpha = rend["alpha"]  # (B,H,W)
     xyzA = A[..., 3:6]
@@ -197,18 +207,24 @@ def _depth_alignment_score(A, B, rend, poses, mesh_diameter):
     obs_valid = jnp.abs(xyzB[..., 2] + center_z) > 1e-6
     both = (alpha > 0) & obs_valid
     d = jnp.linalg.norm(xyzA - xyzB, axis=-1)
-    d = jnp.clip(d, 0.0, mesh_diameter)  # cap outlier influence
-    n_both = jnp.maximum(both.sum(axis=(1, 2)), 1)
-    geom = -jnp.sum(jnp.where(both, d, 0.0), axis=(1, 2)) / n_both
-    # coverage consistency: render pixels with no valid observation are suspect
-    n_rend = jnp.maximum((alpha > 0).sum(axis=(1, 2)), 1)
-    overlap = n_both / n_rend
+    dz = xyzB[..., 2] - xyzA[..., 2]  # observed minus rendered depth
+    tau = 0.05 * mesh_diameter
+    occluded = both & (dz < -tau)
+    support = both & (d <= tau)
+    violate = both & (dz > tau)
+    n_vis = jnp.maximum(both.sum(axis=(1, 2)) - occluded.sum(axis=(1, 2)), 1)
+    support_frac = support.sum(axis=(1, 2)) / n_vis
+    violate_frac = violate.sum(axis=(1, 2)) / n_vis
+    n_sup = jnp.maximum(support.sum(axis=(1, 2)), 1)
     col = -jnp.sum(
-        jnp.where(both[..., None], jnp.abs(A[..., :3] - B[..., :3]), 0.0), axis=(1, 2, 3)
-    ) / (3 * n_both)
+        jnp.where(support[..., None], jnp.abs(A[..., :3] - B[..., :3]), 0.0),
+        axis=(1, 2, 3),
+    ) / (3 * n_sup)
+    # residual sharpness inside the support band (sub-tau ranking signal)
+    geom = -jnp.sum(jnp.where(support, d, 0.0), axis=(1, 2)) / n_sup
     # color weight 2.0: for near-symmetric shapes the texture term is the
     # only signal that separates a ~180-deg flip from the true orientation
-    return geom / (0.05 * mesh_diameter) + overlap + 2.0 * col
+    return support_frac - violate_frac + geom / tau + 2.0 * col
 
 
 @functools.partial(jax.jit, static_argnames=("model", "out_hw", "normalize_xyz", "mode",
