@@ -110,6 +110,14 @@ def test_object_field_fits_sphere():
     mesh = runner.mesh_to_real_world(mesh)
     r = np.linalg.norm(mesh.vertices, axis=-1)
     assert abs(np.median(r) - radius) < 0.02, f"median radius {np.median(r)} vs {radius}"
+    # multi-view fit quality: chamfer vs the ground-truth sphere
+    from sixdof_tpu.metrics import chamfer_distance
+    from sixdof_tpu.ops.hypotheses import icosphere
+    from sixdof_tpu.io.mesh_io import TriMesh
+
+    gv, gf = icosphere(subdivisions=3, radius=radius)
+    cd = chamfer_distance(mesh, TriMesh(gv, gf), n_sample=5000)
+    assert cd < 0.01, f"chamfer {cd*1e3:.2f} mm vs GT sphere (radius {radius*1e3:.0f} mm)"
 
 
 def test_occupancy_grid_query_and_spans():
@@ -216,3 +224,20 @@ def test_bake_texture_atlas():
         back = load_mesh(p)
         assert back.texture is not None
         assert back.uv is not None
+
+
+def test_chamfer_distance_metric():
+    """chamfer_distance is ~0 for identical meshes and ~offset for shifted."""
+    from sixdof_tpu.metrics import chamfer_distance
+    from sixdof_tpu.ops.hypotheses import icosphere
+    from sixdof_tpu.io.mesh_io import TriMesh
+
+    v, f = icosphere(subdivisions=3, radius=0.1)
+    a = TriMesh(v, f)
+    # floor is the point-sampling density: ~sqrt(area/n)/2 ≈ 0.003 here
+    assert chamfer_distance(a, a, n_sample=4000) < 5e-3
+    # disjoint spheres 1.0 apart (radius 0.1): every nearest-neighbor
+    # distance lies in [offset - 2r, offset] = [0.8, 1.0]
+    b = TriMesh(v + np.array([1.0, 0, 0]), f)
+    cd = chamfer_distance(a, b, n_sample=4000)
+    assert 0.8 <= cd <= 1.0
