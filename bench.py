@@ -177,6 +177,55 @@ def main():
 
     import jax
 
+    # optional per-stage register breakdown (VERDICT r1 item 9): gated because
+    # the staged fns compile separately from the fused cascade (~minutes cold).
+    # `tools/profile_register.py` prints the same split with more detail.
+    breakdown = None
+    if os.environ.get("BENCH_BREAKDOWN"):
+        import jax.numpy as jnp
+
+        from sixdof_tpu.models.predict import _make_AB, refine_poses_jit, score_poses_jit
+        from sixdof_tpu.ops.depth_filter import bilateral_filter_depth, erode_depth
+        from sixdof_tpu.ops.geometry import compute_crop_window_tf_batch, depth2xyzmap
+        from sixdof_tpu.ops.rasterize import render_batch
+
+        def _warm_time(fn, *a, n=3):
+            jax.block_until_ready(fn(*a))
+            t0 = time.perf_counter()
+            for _ in range(n):
+                jax.block_until_ready(fn(*a))
+            return (time.perf_counter() - t0) / n
+
+        K = jnp.asarray(reader.color_K, dtype=jnp.float32)
+        d_f = bilateral_filter_depth(erode_depth(jnp.asarray(depth, jnp.float32), radius=2), radius=2)
+        hypo = est.generate_random_pose_hypo(K=reader.color_K, rgb=color,
+                                             depth=np.asarray(d_f), mask=mask)
+        hypo = jnp.asarray(hypo, dtype=jnp.float32)[:64]
+        rgb01 = jnp.asarray(color, jnp.float32) / 255.0
+        xyz_map = depth2xyzmap(d_f, K)
+        diam = float(est.diameter)
+        marr = est.mesh_tensors
+        tf_crops = compute_crop_window_tf_batch(hypo, K, crop_ratio=1.2,
+                                                out_size=(160, 160), mesh_diameter=diam)
+        breakdown = {
+            "render_n64_ms": round(_warm_time(
+                lambda p, t: render_batch(marr, p, K, t, out_hw=(160, 160), use_light=True),
+                hypo, tf_crops) * 1e3, 1),
+            "refine_1iter_n64_ms": round(_warm_time(
+                lambda p: refine_poses_jit(refiner.model, refiner.params, marr, p, rgb01,
+                                           xyz_map, K, diam, 1.2, 0.02, 0.3490658503988659,
+                                           iterations=1), hypo) * 1e3, 1),
+            "score_n64_ms": round(_warm_time(
+                lambda p: score_poses_jit(scorer.model, scorer.params, marr, p, rgb01,
+                                          xyz_map, K, diam, 1.2,
+                                          mode=scorer.cfg.get("score_mode", "hybrid")),
+                hypo) * 1e3, 1),
+        }
+        # host share: fused register wall minus the device-side cascade pieces
+        breakdown["host_etc_ms"] = round(
+            timings["register_s"] * 1e3
+            - 5 * breakdown["refine_1iter_n64_ms"] - breakdown["score_n64_ms"], 1)
+
     out = {
         # HEADLINE: the all-in steady state — tracking with an ICP + defect
         # capture every CAPTURE_EVERY frames (the honest "pose + ICP + defect
@@ -202,6 +251,8 @@ def main():
         "add_m": round(float(add_v), 5),
         "trained_weights": os.path.exists(rckpt),
     }
+    if breakdown is not None:
+        out["register_breakdown"] = breakdown
     print(json.dumps(out))
 
 
