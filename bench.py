@@ -145,23 +145,37 @@ def main():
                       reader.target_mesh, rays, ray_mask, intensities,
                       reader.color_to_depth)
 
-    # ---- steady-state loop (reference semantics): track + dead reckoning;
-    # ICP+defect capture is a user-triggered event (reference run.py:142-145),
-    # measured separately below and reported as capture_event_s ----
+    # ---- steady-state tracking (the product's pipelined path, app/run.py
+    # --track_pipeline=2): the pose chain stays on device and the host
+    # readback lags 2 frames — every pose IS consumed on the host inside the
+    # timed region (including the end-of-loop drain), the D2H copies just
+    # overlap the next dispatches instead of stalling them ----
+    from collections import deque
+
     n = len(reader)
+
+    def consume(handle):
+        pose = handle.numpy()
+        pose_mm = reader.scale_translation_to_millimeters(pose)
+        return np.linalg.inv(reader.color_to_depth @ pose_mm)  # dead reckoning
+
     t_loop = time.perf_counter()
+    pending = deque()
     for i in range(N_TRACK):
         fi = 1 + (i % (n - 1))
         c = reader.get_color(fi)
         d = reader.get_depth(fi)
-        pose = est.track_one(rgb=c, depth=d, K=reader.color_K, iteration=2)
-        pose_mm = reader.scale_translation_to_millimeters(pose)
-        _ = np.linalg.inv(reader.color_to_depth @ pose_mm)  # dead-reckon update
+        pending.append(est.track_one(rgb=c, depth=d, K=reader.color_K,
+                                     iteration=2, sync=False))
+        while len(pending) > 2:
+            consume(pending.popleft())
+    while pending:
+        consume(pending.popleft())
     loop_s = time.perf_counter() - t_loop
     fps = N_TRACK / loop_s
     timings["track_fps"] = fps
 
-    # capture event: preprocess + batched-restart ICP + defect ray trace
+    # capture event alone: preprocess + batched-restart ICP + defect ray trace
     t0 = time.perf_counter()
     n_cap = 4
     for i in range(n_cap):
@@ -173,7 +187,44 @@ def main():
                       reader.target_mesh, rays, ray_mask, intensities,
                       reader.color_to_depth)
     capture_s = (time.perf_counter() - t0) / n_cap
-    fps_with_captures = N_TRACK / (loop_s + (N_TRACK / CAPTURE_EVERY) * capture_s)
+
+    # ---- all-in steady state, measured directly (not a formula): the app
+    # loop with a defect capture every CAPTURE_EVERY frames.  Capture frames
+    # force a pose sync (the ICP + defects consume it immediately); all other
+    # frames track through the 2-deep readback pipeline ----
+    t_loop = time.perf_counter()
+    pending = deque()
+    for i in range(N_TRACK):
+        fi = 1 + (i % (n - 1))
+        c = reader.get_color(fi)
+        d = reader.get_depth(fi)
+        is_cap = (i % CAPTURE_EVERY) == CAPTURE_EVERY - 1
+        out = est.track_one(rgb=c, depth=d, K=reader.color_K, iteration=2,
+                            sync=is_cap)
+        if is_cap:
+            tc = time.perf_counter()
+            while pending:
+                consume(pending.popleft())
+            pose_mm = reader.scale_translation_to_millimeters(out)
+            cap_tf = reader.color_to_depth @ pose_mm
+            t1 = time.perf_counter()
+            s = reader.get_source(fi)
+            sp, _, _ = preprocess_source(s, reader.background, reader.parameters, i=fi)
+            t2 = time.perf_counter()
+            capture_event(sp, target_processed, cap_tf, reader.parameters,
+                          reader.target_mesh, rays, ray_mask, intensities,
+                          reader.color_to_depth)
+            if os.environ.get("BENCH_DEBUG"):
+                print(f"cap@{i}: drain {t1-tc:.3f}s  src+preproc {t2-t1:.3f}s "
+                      f"capture {time.perf_counter()-t2:.3f}s", file=sys.stderr)
+        else:
+            pending.append(out)
+            while len(pending) > 2:
+                consume(pending.popleft())
+    while pending:
+        consume(pending.popleft())
+    allin_s = time.perf_counter() - t_loop
+    fps_with_captures = N_TRACK / allin_s
 
     import jax
 

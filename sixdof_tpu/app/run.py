@@ -17,6 +17,7 @@ import logging
 import os
 import threading
 import time
+from collections import deque
 from multiprocessing import Queue
 
 import numpy as np
@@ -120,6 +121,7 @@ def main(args):
     intersection_pcds = []
     detect_defect = False
     frame_times = []
+    pending_poses = deque()  # (frame_idx, PendingPose) awaiting host readback
     timer = StageTimer()
 
     reader.update()
@@ -180,11 +182,35 @@ def main(args):
             previous_transformation = initial_icp_result.transformation
             update_dash_data(intersection_pcds, target_mesh_copy)
         else:
+            # frames that need the pose on the host NOW: captures (ICP +
+            # defects consume it), debug vis, or pipelining disabled.  All
+            # other frames track asynchronously: the pose chain stays on
+            # device and the host readback lags `track_pipeline` frames —
+            # identical poses, ~3x the steady-state FPS over the TPU tunnel
+            # (the dispatch is ~5 ms; each host sync costs a ~25-45 ms
+            # round-trip that the pipeline hides).
+            want_capture = (not capture_queue.empty()) or bool(
+                args.capture_every and i % args.capture_every == 0)
+            pipeline_depth = getattr(args, "track_pipeline", 2)
+            want_sync = debug >= 1 or want_capture or pipeline_depth <= 0
             with timer.stage("track"):
-                pose = est.track_one(rgb=color, depth=depth, K=reader.color_K,
-                                     iteration=args.track_refine_iter)
-            pose_in_mm = reader.scale_translation_to_millimeters(pose)
-            initial_transformation = np.dot(reader.color_to_depth, pose_in_mm)
+                out = est.track_one(rgb=color, depth=depth, K=reader.color_K,
+                                    iteration=args.track_refine_iter, sync=want_sync)
+            if want_sync:
+                while pending_poses:  # keep ob_in_cam writes ordered
+                    j, h = pending_poses.popleft()
+                    np.savetxt(f"{debug_dir}/ob_in_cam/{j:04d}.txt", h.numpy())
+                pose = out
+            else:
+                pending_poses.append((i, out))
+                while len(pending_poses) > pipeline_depth:
+                    j, h = pending_poses.popleft()
+                    np.savetxt(f"{debug_dir}/ob_in_cam/{j:04d}.txt", h.numpy())
+                pose = None  # dead-reckoning state has no consumer until the
+                # next capture frame, which re-syncs; skip the host math
+            if pose is not None:
+                pose_in_mm = reader.scale_translation_to_millimeters(pose)
+                initial_transformation = np.dot(reader.color_to_depth, pose_in_mm)
 
             if not capture_queue.empty():
                 capture_queue.get()
@@ -193,6 +219,17 @@ def main(args):
             if args.capture_every and i % args.capture_every == 0:
                 detect_defect = True
 
+            if detect_defect and pose is None:
+                # capture request landed between the pre-track queue check
+                # and here (viewer thread): sync this frame's pose after all
+                while pending_poses:
+                    j, h = pending_poses.popleft()
+                    if j != i:
+                        np.savetxt(f"{debug_dir}/ob_in_cam/{j:04d}.txt", h.numpy())
+                    else:
+                        pose = h.numpy()
+                pose_in_mm = reader.scale_translation_to_millimeters(pose)
+                initial_transformation = np.dot(reader.color_to_depth, pose_in_mm)
             if detect_defect:
                 heatmap, color_original, heatmap_vis, _ = reader.get_heatmap(reader.get_color(i))
                 overlay = create_heatmap_overlay(color_original, heatmap_vis)
@@ -235,10 +272,11 @@ def main(args):
                 previous_transformation = current_transformation
                 update_dash_data(intersection_pcds, target_mesh_copy)
                 detect_defect = False
-            else:
+            elif pose is not None:
                 current_transformation = np.linalg.inv(initial_transformation @ delta_pose)
 
-        np.savetxt(f"{debug_dir}/ob_in_cam/{i:04d}.txt", pose.reshape(4, 4))
+        if pose is not None:
+            np.savetxt(f"{debug_dir}/ob_in_cam/{i:04d}.txt", pose.reshape(4, 4))
         frame_times.append(time.perf_counter() - t0)
 
         if debug >= 1:
@@ -262,6 +300,9 @@ def main(args):
                 cv2.imwrite(f"{debug_dir}/track_vis/{i:04d}.png", vis[..., ::-1])
         i += 1
 
+    while pending_poses:  # drain the readback pipeline
+        j, h = pending_poses.popleft()
+        np.savetxt(f"{debug_dir}/ob_in_cam/{j:04d}.txt", h.numpy())
     reader.stop_camera()
     timer.log()
     if frame_times:
@@ -306,6 +347,10 @@ def build_parser():
                              "grid for all iterations, the reference behavior)")
     parser.add_argument("--max_hypotheses", type=int, default=None,
                         help="cap the rotation grid (speed/quality tradeoff)")
+    parser.add_argument("--track_pipeline", type=int, default=2,
+                        help="tracked-pose readback pipeline depth (0 = sync "
+                             "every frame); poses are identical, the host "
+                             "copy just lags this many frames")
     parser.add_argument("--prune_schedule", type=str, default="",
                         help="progressive coarse pruning stages as "
                              "'ITERSxKEEP,...' (e.g. '1x128,1x64'); overrides "

@@ -45,3 +45,28 @@ def test_full_app_loop(scene_dir, tmp_path):
     from sixdof_tpu.app.web_vis import ASSETS_DIR
 
     assert os.path.exists(os.path.join(ASSETS_DIR, "overlay.png"))
+
+
+@pytest.mark.slow
+def test_pipelined_tracking_matches_sync(scene_dir, tmp_path):
+    """track_pipeline>0 defers host readback but must yield identical poses
+    (the on-device pose chain is exactly the sync math), including when a
+    capture frame forces a mid-pipeline sync."""
+    from sixdof_tpu.app.run import build_parser, main
+
+    base = [
+        "--test_scene_dir", scene_dir, "--demo", "--debug", "0",
+        "--shorter_side", "120", "--max_frames", "4", "--no_server",
+        "--est_refine_iter", "1", "--track_refine_iter", "1",
+        "--capture_every", "3", "--max_hypotheses", "8",
+    ]
+    args_sync = build_parser().parse_args(
+        base + ["--debug_dir", str(tmp_path / "sync"), "--track_pipeline", "0"])
+    main(args_sync)
+    args_pipe = build_parser().parse_args(
+        base + ["--debug_dir", str(tmp_path / "pipe"), "--track_pipeline", "2"])
+    main(args_pipe)
+    for i in range(4):
+        ps = np.loadtxt(tmp_path / "sync" / "ob_in_cam" / f"{i:04d}.txt")
+        pp = np.loadtxt(tmp_path / "pipe" / "ob_in_cam" / f"{i:04d}.txt")
+        np.testing.assert_allclose(pp, ps, atol=1e-5)
