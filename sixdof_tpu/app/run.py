@@ -36,7 +36,9 @@ from .defect_projection import (
     ray_tracing,
     save_overlay,
 )
-from .icp_pipeline import capture_event, preprocess_source, refine_pose_with_icp
+from .icp_pipeline import (
+    CaptureContext, capture_event, preprocess_source, refine_pose_with_icp,
+)
 from .web_vis import ASSETS_DIR, run_dash_app, update_dash_data
 
 
@@ -165,6 +167,10 @@ def main(args):
                 initial_icp_result.transformation
             )
             current_transformation = initial_icp_result.transformation
+            # device-resident constants for all later capture events
+            capture_ctx = CaptureContext(
+                target_processed, reader.target_mesh, reader.color_to_depth
+            )
 
             target_mesh_copy = transform_object(
                 reader.target_mesh, np.linalg.inv(initial_icp_result.transformation)
@@ -253,7 +259,7 @@ def main(args):
                     source_processed, target_processed, initial_transformation,
                     reader.parameters, reader.target_mesh, rays,
                     np.ones(len(rays), dtype=bool), intensities,
-                    reader.color_to_depth,
+                    reader.color_to_depth, ctx=capture_ctx,
                 )
                 current_transformation = current_result.transformation
                 delta_pose = np.linalg.inv(initial_transformation) @ np.linalg.inv(

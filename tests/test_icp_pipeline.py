@@ -246,3 +246,41 @@ def test_capture_event_matches_staged_path(rng):
     assert len(pcd) == hit.sum()
     if len(pcd):
         np.testing.assert_allclose(np.asarray(pcd.points), pts_staged, atol=1e-2)
+
+
+def test_capture_event_ctx_matches_no_ctx(rng):
+    """CaptureContext (device-resident constants, batched readback) is a pure
+    transfer optimization: identical results to the per-call upload path."""
+    from sixdof_tpu.app.defect_projection import PinholeCameraIntrinsic, compute_rays
+    from sixdof_tpu.io.mesh_io import PointCloud, TriMesh
+
+    true_tf = euler_matrix(0.1, 0.2, -0.15)
+    true_tf[:3, 3] = [2.0, -6.0, 480.0]
+    source, background = make_scene(rng, true_tf)
+    src_p, _, _ = ip.preprocess_source(source, background, ICP_PARAMS, i=1)
+    target_processed, _ = ip.preprocess_target(PointCloud(make_object_cloud(rng, 2500)), ICP_PARAMS)
+
+    v = np.array([[0, 0, -25.0], [35.0, 0, 0], [-20.0, 25.0, 0], [-20.0, -25.0, 0]])
+    f = np.array([[0, 1, 2], [0, 2, 3], [0, 3, 1], [1, 3, 2]])
+    mesh = TriMesh(v, f)
+    init = true_tf.copy()
+    init[:3, 3] += [1.0, 0.5, -2.0]
+    K = PinholeCameraIntrinsic.from_params(160, 120, 300.0, 300.0, 80.0, 60.0)
+    rays, intensities = compute_rays([(80, 60, 1.0), (84, 58, 0.7)], K)
+    ray_mask = np.ones(len(rays), dtype=bool)
+    c2d = np.diag([1.0, 1.0, 1.0, 1.0])
+
+    res_a, pcd_a = ip.capture_event(src_p, target_processed, init.copy(), ICP_PARAMS,
+                                    mesh, rays, ray_mask, intensities, c2d,
+                                    n_restarts=4, seed=7)
+    ctx = ip.CaptureContext(target_processed, mesh, c2d)
+    for _ in range(2):  # second call exercises the ray-upload cache
+        res_b, pcd_b = ip.capture_event(src_p, target_processed, init.copy(), ICP_PARAMS,
+                                        mesh, rays, ray_mask, intensities, c2d,
+                                        n_restarts=4, seed=7, ctx=ctx)
+        np.testing.assert_allclose(res_b.transformation, res_a.transformation, atol=1e-6)
+        assert abs(res_b.fitness - res_a.fitness) < 1e-7
+        assert len(pcd_b) == len(pcd_a)
+        if len(pcd_a):
+            np.testing.assert_allclose(np.asarray(pcd_b.points), np.asarray(pcd_a.points),
+                                       atol=1e-6)
