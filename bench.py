@@ -160,7 +160,10 @@ def main():
     rays, intensities = compute_rays(pix, reader.color_pinhole)
     ray_mask = np.ones(len(rays), dtype=bool)
     cap_ctx = CaptureContext(target_processed, reader.target_mesh, reader.color_to_depth)
-    for wf in (1, 2):
+    # every frame: each source cloud size can land in a different padding
+    # bucket, and an unwarmed bucket pays its compile/cache-load inside the
+    # measured loops otherwise
+    for wf in range(1, len(reader)):
         s = reader.get_source(wf)
         sp, _, _ = preprocess_source(s, reader.background, reader.parameters, i=wf)
         capture_event(sp, target_processed, init_tf.copy(), reader.parameters,
@@ -207,12 +210,17 @@ def main():
     n_cap = 4
     for i in range(n_cap):
         fi = 1 + (i % (n - 1))
+        t1 = time.perf_counter()
         s = reader.get_source(fi)
         sp, _, _ = preprocess_source(s, reader.background, reader.parameters, i=fi)
+        t2 = time.perf_counter()
         # fused capture: restart ICP + best-pick + defect ray trace, one dispatch
         capture_event(sp, target_processed, init_tf.copy(), reader.parameters,
                       reader.target_mesh, rays, ray_mask, intensities,
                       reader.color_to_depth, ctx=cap_ctx)
+        if os.environ.get("BENCH_DEBUG"):
+            print(f"capalone@{fi}: src+preproc {t2-t1:.3f}s "
+                  f"capture {time.perf_counter()-t2:.3f}s", file=sys.stderr)
     capture_s = (time.perf_counter() - t0) / n_cap
 
     # ---- all-in steady state, measured directly (not a formula): the app
