@@ -99,6 +99,7 @@ def main(args):
         scorer=scorer, refiner=refiner, debug_dir=debug_dir, debug=debug,
         prune_to=args.prune_to or None,
         prune_schedule=_parse_prune_schedule(getattr(args, "prune_schedule", "")),
+        track_crop=bool(getattr(args, "track_crop", 1)),
     )
     if args.max_hypotheses and len(est.rot_grid) > args.max_hypotheses:
         step = len(est.rot_grid) // args.max_hypotheses
@@ -353,6 +354,9 @@ def build_parser():
                              "grid for all iterations, the reference behavior)")
     parser.add_argument("--max_hypotheses", type=int, default=None,
                         help="cap the rotation grid (speed/quality tradeoff)")
+    parser.add_argument("--track_crop", type=int, default=1,
+                        help="crop the uploaded frame around the tracked pose "
+                             "(1 = on; identical poses, less link traffic)")
     parser.add_argument("--track_pipeline", type=int, default=2,
                         help="tracked-pose readback pipeline depth (0 = sync "
                              "every frame); poses are identical, the host "

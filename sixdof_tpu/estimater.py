@@ -54,7 +54,8 @@ class FoundationPose:
     def __init__(self, model_pts, model_normals, symmetry_tfs=None, mesh: TriMesh = None,
                  scorer: ScorePredictor = None, refiner: PoseRefinePredictor = None,
                  glctx=None, debug=0, debug_dir="debug/fp", prune_to=None,
-                 device_mesh=None, coarse_hw=(96, 96), prune_schedule=None):
+                 device_mesh=None, coarse_hw=(96, 96), prune_schedule=None,
+                 track_crop=True):
         """@prune_to: optional coarse-to-fine registration — after 2 refine
         iterations over the full rotation grid, keep only the prune_to
         best-scoring hypotheses for the remaining iterations (roughly halves
@@ -82,6 +83,22 @@ class FoundationPose:
 
         self.reset_object(model_pts, model_normals, symmetry_tfs=symmetry_tfs, mesh=mesh)
         self.make_rotation_grid(min_n_views=40, inplane_step=60)
+
+        # host-side crop of the uploaded frame around the tracked pose
+        # (track_one): the network only ever reads a crop_ratio-sized window
+        # around the object, so uploading the full frame wastes link bandwidth
+        # AND relay CPU (the tunnel relay shares the single host core with
+        # the numpy preprocessing).  The crop is conservative (margin x the
+        # network's own window, re-centered every frame from a <=2-frame-old
+        # pose) and falls back to the full frame whenever the object isn't
+        # safely inside it.
+        self.track_crop = bool(track_crop)
+        self._track_crop_margin = 1.4
+        self._crop_pose_host = None
+        self._crop_size = None
+        from collections import deque as _deque
+
+        self._pose_hist = _deque()
 
         self.scorer = scorer if scorer is not None else ScorePredictor()
         self.refiner = refiner if refiner is not None else PoseRefinePredictor()
@@ -230,6 +247,8 @@ class FoundationPose:
             logging.info(f"sorted scores (top5): {scores_np[:5]}")
             best_pose = poses_np[0] @ self.get_tf_to_centered_mesh()
             self.pose_last = poses_np[0]
+            self._crop_pose_host = np.asarray(poses_np[0], dtype=np.float64)
+            self._pose_hist.clear()
             self.best_id = 0
             self.poses = poses_np
             self.scores = scores_np
@@ -288,6 +307,8 @@ class FoundationPose:
 
         best_pose = poses_np[0] @ self.get_tf_to_centered_mesh()
         self.pose_last = poses_np[0]
+        self._crop_pose_host = np.asarray(poses_np[0], dtype=np.float64)
+        self._pose_hist.clear()
         self.best_id = ids[0]
         self.poses = poses_np
         self.scores = scores_np[ids]
@@ -305,6 +326,50 @@ class FoundationPose:
 
         model = np.asarray(self.pts)
         return np.array([add_err(np.asarray(p), np.asarray(self.gt_pose), model) for p in poses])
+
+    def _crop_window(self, K, hw):
+        """Conservative (oy, ox, size) upload crop around the tracked pose,
+        or None for full frame.
+
+        The window is margin x the network's own crop_ratio window around the
+        <=2-frame-old host pose; size is fixed per session (rounded up to a
+        multiple of 32) so tracking stays one compiled program, and only the
+        offset moves with the object.  Falls back to the full frame when the
+        object is too close (window would exceed the frame) or the projected
+        center leaves the image.
+        """
+        p = self._crop_pose_host
+        if p is None:
+            return None
+        tz = float(p[2, 3])
+        if tz <= 1e-6:
+            return None
+        H, W = int(hw[0]), int(hw[1])
+        f = max(float(K[0, 0]), float(K[1, 1]))
+        crop_ratio = float(self.refiner.cfg.get("crop_ratio", 1.2))
+        need = 2.0 * f * (0.5 * self.diameter * crop_ratio * self._track_crop_margin) / tz
+        if self._crop_size is None or need > 0.95 * self._crop_size:
+            size = max(64, int(np.ceil(need * 1.05 / 32.0) * 32))
+            self._crop_size = 0 if size >= min(H, W) else size
+        if not self._crop_size:
+            return None
+        size = self._crop_size
+        u = float(K[0, 0]) * float(p[0, 3]) / tz + float(K[0, 2])
+        v = float(K[1, 1]) * float(p[1, 3]) / tz + float(K[1, 2])
+        if not (0.0 <= u < W and 0.0 <= v < H):
+            return None  # lost the object: give the net the whole frame
+        ox = int(np.clip(round(u - size / 2), 0, W - size))
+        oy = int(np.clip(round(v - size / 2), 0, H - size))
+        return oy, ox, size
+
+    def _push_pose_hist(self, pose_dev):
+        """Advance the host-side crop pose from completed async readbacks."""
+        self._pose_hist.append(pose_dev)
+        if len(self._pose_hist) > 2:
+            old = self._pose_hist.popleft()
+            # the async D2H copy started 2 frames ago; this materialize is
+            # (nearly) free and never stalls the dispatch pipeline
+            self._crop_pose_host = np.asarray(old, dtype=np.float64).reshape(4, 4)
 
     def track_one(self, rgb, depth, K, iteration, extra={}, sync=True):
         """Single-hypothesis refinement from the previous frame's pose
@@ -332,7 +397,17 @@ class FoundationPose:
         depth_np = np.asarray(depth)
         if depth_np.dtype != np.uint16:  # mm-uint16: 4x less traffic
             depth_np = np.clip(depth_np * 1000.0, 0, 65535).astype(np.uint16)
-        rgbd = pack_rgbd(rgb_np, np.ascontiguousarray(depth_np))
+        K_use = np.asarray(K, dtype=np.float64)
+        if self.track_crop and self.debug < 2:
+            win = self._crop_window(K_use, rgb_np.shape[:2])
+            if win is not None:
+                oy, ox, size = win
+                rgb_np = rgb_np[oy : oy + size, ox : ox + size]
+                depth_np = depth_np[oy : oy + size, ox : ox + size]
+                K_use = K_use.copy()
+                K_use[0, 2] -= ox
+                K_use[1, 2] -= oy
+        rgbd = pack_rgbd(np.ascontiguousarray(rgb_np), np.ascontiguousarray(depth_np))
         if isinstance(self.pose_last, jax.Array):  # chained: already on device
             pose_last_dev = jnp.reshape(self.pose_last, (1, 4, 4))
         else:
@@ -342,7 +417,7 @@ class FoundationPose:
             ref.model, ref.params, self.mesh_tensors,
             pose_last_dev,
             jnp.asarray(rgbd),
-            jnp.asarray(K, dtype=jnp.float32), float(self.diameter),
+            jnp.asarray(K_use, dtype=jnp.float32), float(self.diameter),
             float(ref.cfg["crop_ratio"]), float(ref.cfg["trans_normalizer"]),
             float(ref.cfg["rot_normalizer"]), iterations=int(iteration),
             out_hw=tuple(ref.cfg["input_resize"]),
@@ -364,6 +439,10 @@ class FoundationPose:
                 pose.copy_to_host_async()
             except Exception:
                 pass
+            self._push_pose_hist(pose)
             return PendingPose(pose, self.get_tf_to_centered_mesh())
         pose_np = np.asarray(pose).reshape(4, 4).astype(np.float64)
+        # same 2-frame crop-centering lag as the pipelined path, so sync and
+        # pipelined tracking pick identical crop offsets -> identical poses
+        self._push_pose_hist(pose_np)
         return pose_np @ self.get_tf_to_centered_mesh()

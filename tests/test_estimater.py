@@ -164,3 +164,56 @@ def test_deepim_trans_decode_identity():
                      jnp.concatenate([uv_pred, jnp.ones_like(z_pred)[:, None]], axis=-1))
     trans_delta = ray * z_pred[:, None] - centers
     np.testing.assert_allclose(np.asarray(trans_delta), 0.0, atol=1e-5)
+
+
+def test_track_crop_matches_full_frame(small_estimator, scene_dir):
+    """Host-side upload cropping (track_crop) is a transfer optimization:
+    tracked poses must match the full-frame path (both sync and pipelined)."""
+    est = small_estimator
+    reader = _read_frame(scene_dir)
+    K = reader.color_K
+    frames = [(reader.get_color(i), reader.get_depth(i)) for i in range(len(reader))]
+    c0, d0 = frames[0]
+    mask = reader.get_mask(c0, 0).astype(bool)
+
+    def run(track_crop, sync):
+        est.track_crop = track_crop
+        est._crop_size = None
+        est.register(K=K, rgb=c0, depth=d0, ob_mask=mask, iteration=1)
+        out = []
+        pending = []
+        for c, d in frames:
+            h = est.track_one(rgb=c, depth=d, K=K, iteration=1, sync=sync)
+            (out if sync else pending).append(h)
+        out.extend(p.numpy() for p in pending)
+        return np.stack(out)
+
+    ref_poses = run(track_crop=False, sync=True)
+    crop_sync = run(track_crop=True, sync=True)
+    crop_pipe = run(track_crop=True, sync=False)
+    assert est._crop_size, "crop was never engaged on this scene"
+    np.testing.assert_allclose(crop_sync, ref_poses, atol=1e-4)
+    np.testing.assert_allclose(crop_pipe, ref_poses, atol=1e-4)
+
+
+def test_track_crop_window_fallbacks(small_estimator):
+    """Full-frame fallback when the object is too close or center off-image."""
+    est = small_estimator
+    K = np.array([[300.0, 0, 64.0], [0, 300.0, 48.0], [0, 0, 1.0]])
+    est._crop_size = None
+    # too close: needed window exceeds the frame
+    p = np.eye(4); p[2, 3] = 0.02
+    est._crop_pose_host = p
+    assert est._crop_window(K, (96, 128)) is None
+    # comfortable distance: a window comes back, inside bounds
+    est._crop_size = None
+    p = np.eye(4); p[2, 3] = 2.0
+    est._crop_pose_host = p
+    win = est._crop_window(K, (96, 128))
+    assert win is not None
+    oy, ox, size = win
+    assert 0 <= oy <= 96 - size and 0 <= ox <= 128 - size
+    # projected center off-image -> full frame
+    p2 = p.copy(); p2[0, 3] = 10.0
+    est._crop_pose_host = p2
+    assert est._crop_window(K, (96, 128)) is None
