@@ -181,16 +181,23 @@ def _compute_fpfh(pcd, radius, max_nn):
 # ----------------------------------------------------------------- devices --
 
 
+def _pad_target(target: PointCloud):
+    """Padded device target (points, normals, mask), estimating normals if
+    absent — shared by _DeviceClouds and CaptureContext so both capture
+    paths stay bit-identical."""
+    tb = _bucket(len(target))
+    tgt, tgt_mask = _pad_cloud(target.points, tb)
+    if target.normals is None:
+        pc.estimate_normals(target, radius=2, max_nn=5)
+    return tgt, _pad_normals(target.normals, tb), tgt_mask
+
+
 class _DeviceClouds:
     """Padded device-resident source/target for one refinement session."""
 
     def __init__(self, source: PointCloud, target: PointCloud):
         self.src, self.src_mask = _pad_cloud(source.points)
-        tb = _bucket(len(target))
-        self.tgt, self.tgt_mask = _pad_cloud(target.points, tb)
-        if target.normals is None:
-            pc.estimate_normals(target, radius=2, max_nn=5)
-        self.tgt_normals = _pad_normals(target.normals, tb)
+        self.tgt, self.tgt_normals, self.tgt_mask = _pad_target(target)
 
 
 class CaptureContext:
@@ -207,30 +214,39 @@ class CaptureContext:
     def __init__(self, target_processed: PointCloud, model_mesh, color_to_depth):
         from ..ops import raytrace as rt
 
-        tb = _bucket(len(target_processed))
-        self.tgt, self.tgt_mask = _pad_cloud(target_processed.points, tb)
-        if target_processed.normals is None:
-            pc.estimate_normals(target_processed, radius=2, max_nn=5)
-        self.tgt_normals = _pad_normals(target_processed.normals, tb)
+        self.tgt, self.tgt_normals, self.tgt_mask = _pad_target(target_processed)
+        self._n_target = len(target_processed)
+        self._n_faces = len(model_mesh.faces)
         tri, tri_mask = rt.mesh_to_tri_verts(model_mesh.vertices, model_mesh.faces)
         self.tri = jnp.asarray(tri)
         self.tri_mask = jnp.asarray(tri_mask)
+        self._color_to_depth = np.asarray(color_to_depth, dtype=np.float64).copy()
         self.depth_to_color = jnp.asarray(
             np.linalg.inv(color_to_depth), dtype=jnp.float32
         )
         self._ray_key = None
         self._rays = None
 
+    def check(self, target_processed, model_mesh, color_to_depth):
+        """Guard against a context built for a different scene: the cached
+        device constants silently win over the per-call arguments, so a
+        mismatch would return wrong results with no error."""
+        if (len(target_processed) != self._n_target
+                or len(model_mesh.faces) != self._n_faces
+                or not np.allclose(color_to_depth, self._color_to_depth)):
+            raise ValueError(
+                "CaptureContext was built for a different target/mesh/extrinsic "
+                "than this capture_event call; rebuild the context"
+            )
+
     def rays_device(self, ray_dirs, ray_mask, intensities):
         """Cache the padded heatmap rays on device, keyed by content."""
         dirs = np.ascontiguousarray(np.asarray(ray_dirs, dtype=np.float32))
-        key = (dirs.shape, dirs.tobytes())
+        mask = np.ascontiguousarray(np.asarray(ray_mask, dtype=bool))
+        inten = np.ascontiguousarray(np.asarray(intensities, dtype=np.float64))
+        key = (dirs.shape, dirs.tobytes(), mask.tobytes(), inten.tobytes())
         if self._ray_key != key:
-            self._rays = (
-                jnp.asarray(dirs),
-                jnp.asarray(np.asarray(ray_mask, dtype=bool)),
-                np.asarray(intensities),
-            )
+            self._rays = (jnp.asarray(dirs), jnp.asarray(mask), inten)
             self._ray_key = key
         return self._rays
 
@@ -388,6 +404,7 @@ def capture_event(source_processed, target_processed, current_result, parameter,
         current_result, parameters, n_restarts, seed
     )
     if ctx is not None:
+        ctx.check(target_processed, model_mesh, color_to_depth)
         src, src_mask = _pad_cloud(source_processed.points)
         tgt, tgt_normals, tgt_mask = ctx.tgt, ctx.tgt_normals, ctx.tgt_mask
         tri_d, tri_mask_d = ctx.tri, ctx.tri_mask

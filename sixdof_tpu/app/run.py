@@ -68,7 +68,24 @@ def oriented_bounds(mesh):
     return to_origin, extents
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache: the fused register cascade compiles in
+    minutes; with the cache every later process (and anything pre-warmed by
+    tools/precompile.py) starts at interactive latency.  SIXDOF_COMPILE_CACHE
+    overrides the location; an empty value disables."""
+    import jax
+
+    cache_dir = os.environ.get("SIXDOF_COMPILE_CACHE", "/tmp/jax_compile_cache")
+    try:
+        if cache_dir and not jax.config.jax_compilation_cache_dir:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # cache is an optimization, never a requirement
+        logging.warning(f"compile cache unavailable: {e}")
+
+
 def main(args):
+    _enable_compile_cache()
     data_queue = Queue()
     capture_queue = Queue()
     dash_thread = threading.Thread(

@@ -96,6 +96,7 @@ class FoundationPose:
         self._track_crop_margin = 1.4
         self._crop_pose_host = None
         self._crop_size = None
+        self._last_center_px = None
         from collections import deque as _deque
 
         self._pose_hist = _deque()
@@ -249,6 +250,7 @@ class FoundationPose:
             self.pose_last = poses_np[0]
             self._crop_pose_host = np.asarray(poses_np[0], dtype=np.float64)
             self._pose_hist.clear()
+            self._last_center_px = None
             self.best_id = 0
             self.poses = poses_np
             self.scores = scores_np
@@ -309,6 +311,7 @@ class FoundationPose:
         self.pose_last = poses_np[0]
         self._crop_pose_host = np.asarray(poses_np[0], dtype=np.float64)
         self._pose_hist.clear()
+        self._last_center_px = None
         self.best_id = ids[0]
         self.poses = poses_np
         self.scores = scores_np[ids]
@@ -347,17 +350,37 @@ class FoundationPose:
         H, W = int(hw[0]), int(hw[1])
         f = max(float(K[0, 0]), float(K[1, 1]))
         crop_ratio = float(self.refiner.cfg.get("crop_ratio", 1.2))
-        need = 2.0 * f * (0.5 * self.diameter * crop_ratio * self._track_crop_margin) / tz
-        if self._crop_size is None or need > 0.95 * self._crop_size:
+        # what the network itself will sample vs what we upload (margin x)
+        need_net = 2.0 * f * (0.5 * self.diameter * crop_ratio) / tz
+        need = need_net * self._track_crop_margin
+        if self._crop_size is None:
             size = max(64, int(np.ceil(need * 1.05 / 32.0) * 32))
             self._crop_size = 0 if size >= min(H, W) else size
-        if not self._crop_size:
-            return None
+        elif self._crop_size and need > 0.95 * self._crop_size:
+            # the object came closer than the session's window was sized for;
+            # stay on the (always-correct) full frame rather than recompiling
+            # the track program mid-loop for a new shape
+            logging.info(":: track_crop: object too close for the session "
+                         "window, reverting to full-frame uploads")
+            self._crop_size = 0
+        if not self._crop_size or self._crop_size > min(H, W):
+            return None  # disabled, or the frame shrank below the window
         size = self._crop_size
         u = float(K[0, 0]) * float(p[0, 3]) / tz + float(K[0, 2])
         v = float(K[1, 1]) * float(p[1, 3]) / tz + float(K[1, 2])
         if not (0.0 <= u < W and 0.0 <= v < H):
+            self._last_center_px = None
             return None  # lost the object: give the net the whole frame
+        # motion guard: the crop is centered on a pose ~lag frames stale, so
+        # extrapolate the last observed per-frame image motion over the lag
+        # and require it to fit in the window's slack around the net's window
+        slack = 0.5 * (size - need_net)
+        prev = self._last_center_px
+        self._last_center_px = (u, v)
+        if prev is not None:
+            motion = float(np.hypot(u - prev[0], v - prev[1]))
+            if motion * (len(self._pose_hist) + 1) + 4.0 > slack:
+                return None  # moving too fast for the lagged window
         ox = int(np.clip(round(u - size / 2), 0, W - size))
         oy = int(np.clip(round(v - size / 2), 0, H - size))
         return oy, ox, size

@@ -201,6 +201,7 @@ def test_track_crop_window_fallbacks(small_estimator):
     est = small_estimator
     K = np.array([[300.0, 0, 64.0], [0, 300.0, 48.0], [0, 0, 1.0]])
     est._crop_size = None
+    est._last_center_px = None
     # too close: needed window exceeds the frame
     p = np.eye(4); p[2, 3] = 0.02
     est._crop_pose_host = p
@@ -217,3 +218,67 @@ def test_track_crop_window_fallbacks(small_estimator):
     p2 = p.copy(); p2[0, 3] = 10.0
     est._crop_pose_host = p2
     assert est._crop_window(K, (96, 128)) is None
+
+
+def test_track_crop_motion_guard_and_growth_fallback(small_estimator):
+    """Fast image motion of the (lagged) crop center falls back to the full
+    frame; an object closing in past the session window disables cropping."""
+    est = small_estimator
+    K = np.array([[300.0, 0, 64.0], [0, 300.0, 48.0], [0, 0, 1.0]])
+    est._crop_size = None
+    est._last_center_px = None
+    p = np.eye(4); p[2, 3] = 2.0
+    est._crop_pose_host = p
+    assert est._crop_window(K, (96, 128)) is not None
+    # large in-image jump of the projected center -> motion guard kicks in
+    p2 = p.copy(); p2[0, 3] = 0.2  # ~30 px of image motion
+    est._crop_pose_host = p2
+    assert est._crop_window(K, (96, 128)) is None
+    # small drift is fine again
+    p3 = p2.copy(); p3[0, 3] += 0.001
+    est._crop_pose_host = p3
+    assert est._crop_window(K, (96, 128)) is not None
+    # object comes much closer: need grows past the session window -> crop
+    # permanently reverts to full frame (no mid-loop recompile)
+    p4 = p3.copy(); p4[2, 3] = 0.2
+    est._crop_pose_host = p4
+    assert est._crop_window(K, (96, 128)) is None
+    assert est._crop_size == 0
+
+
+def test_capture_ctx_guards(rng=np.random.RandomState(0)):
+    """CaptureContext rejects calls for a different scene and re-uploads rays
+    when intensities/mask change (content-keyed cache)."""
+    import pytest as _pytest
+
+    from sixdof_tpu.app import icp_pipeline as ip
+    from sixdof_tpu.io.mesh_io import PointCloud, TriMesh
+
+    tgt = PointCloud(rng.rand(500, 3) * 100)
+    v = np.array([[0, 0, -25.0], [35.0, 0, 0], [-20.0, 25.0, 0], [-20.0, -25.0, 0]])
+    f = np.array([[0, 1, 2], [0, 2, 3], [0, 3, 1], [1, 3, 2]])
+    mesh = TriMesh(v, f)
+    c2d = np.eye(4)
+    ctx = ip.CaptureContext(tgt, mesh, c2d)
+
+    rays = rng.rand(5, 3)
+    mask = np.ones(5, dtype=bool)
+    inten = np.linspace(0.1, 0.9, 5)
+    _, _, i1 = ctx.rays_device(rays, mask, inten)
+    np.testing.assert_allclose(i1, inten)
+    # same dirs, different intensities -> cache must NOT serve stale values
+    inten2 = inten * 0.5
+    _, _, i2 = ctx.rays_device(rays, mask, inten2)
+    np.testing.assert_allclose(i2, inten2)
+    # same dirs, different mask -> new device mask
+    mask2 = mask.copy(); mask2[0] = False
+    _, m3, _ = ctx.rays_device(rays, mask2, inten2)
+    assert not bool(np.asarray(m3)[0])
+
+    # wrong-scene guard
+    other_tgt = PointCloud(rng.rand(400, 3) * 100)
+    with _pytest.raises(ValueError):
+        ctx.check(other_tgt, mesh, c2d)
+    with _pytest.raises(ValueError):
+        ctx.check(tgt, mesh, np.diag([1.0, 1.0, 1.0, 2.0]))
+    ctx.check(tgt, mesh, c2d)  # matching args pass

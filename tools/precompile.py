@@ -33,7 +33,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("scene_dir", nargs="?",
                     default=os.path.join(REPO, "demo_data", "synth_box"))
-    ap.add_argument("--shorter_side", type=int, default=288)
+    # IMPORTANT: must match the resolution run.py will use — cache keys
+    # depend on traced shapes (run.py's default is native resolution = 0)
+    ap.add_argument("--shorter_side", type=int, default=0,
+                    help="0 = native resolution (run.py's default); pass the "
+                         "same value you will pass to run.py")
     ap.add_argument("--prune_to", type=int, default=64)
     ap.add_argument("--est_refine_iter", type=int, default=5)
     ap.add_argument("--track_refine_iter", type=int, default=2)
@@ -67,7 +71,8 @@ def main():
         voxel_size = None
 
     t_all = time.perf_counter()
-    reader = DataReader(base_dir=args.scene_dir, shorter_side=args.shorter_side,
+    reader = DataReader(base_dir=args.scene_dir,
+                        shorter_side=args.shorter_side or None,
                         zfar=np.inf, arguments=Args())
     mesh = load_mesh(os.path.join(args.scene_dir, "mesh", "model_scaled_down.obj"))
     rckpt = os.path.join(REPO, "weights", "refiner")
