@@ -27,6 +27,17 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# He (kaiming) init for every conv in the ReLU trunk.  Flax's default
+# lecun_normal under-scales ReLU stacks by ~1/sqrt(2) per layer: through the
+# ~13-conv trunk, from-scratch activations shrink to std ~0.04, which the
+# unit-scale positional embedding then swamps (tokens ~ PE + tiny signal).
+# The refiner survives because its transformer head LayerNorms the tokens;
+# the scorer's bare attention + token-mean does not, so its logits stayed
+# input-independent no matter how long it trained.  Init-only change:
+# torch-converted reference checkpoints overwrite it, forward math unchanged.
+_conv_init = nn.initializers.he_normal()
+
+
 class ConvReLU(nn.Module):
     features: int
     kernel_size: int = 3
@@ -43,6 +54,7 @@ class ConvReLU(nn.Module):
             padding=((pad, pad), (pad, pad)),
             use_bias=True,
             dtype=self.dtype,
+            kernel_init=_conv_init,
             name="conv",
         )(x)
         return nn.relu(x)
@@ -56,10 +68,10 @@ class ResnetBasicBlock(nn.Module):
     def __call__(self, x):
         identity = x
         out = nn.Conv(self.planes, (3, 3), padding=((1, 1), (1, 1)), use_bias=True,
-                      dtype=self.dtype, name="conv1")(x)
+                      dtype=self.dtype, kernel_init=_conv_init, name="conv1")(x)
         out = nn.relu(out)
         out = nn.Conv(self.planes, (3, 3), padding=((1, 1), (1, 1)), use_bias=True,
-                      dtype=self.dtype, name="conv2")(out)
+                      dtype=self.dtype, kernel_init=_conv_init, name="conv2")(out)
         return nn.relu(out + identity)
 
 

@@ -324,6 +324,36 @@ def make_scorer_batch(key, mesh: MeshArrays, K, mesh_diameter, cfg: TrainConfig,
     return A, B, target
 
 
+def _self_biased_cross_attention_init(params):
+    """Break the uniform-attention symmetry in the scorer's cross-hypothesis
+    attention for FROM-SCRATCH training.
+
+    The reference's att_cross (score_network.py:54,86-88) has no residual:
+    with independent random W_q/W_k, attention over the L hypotheses starts
+    near-uniform, so every hypothesis receives the same value-average and the
+    score head's input carries ~1% per-hypothesis signal — from-scratch
+    training never escapes (logits stay constant; the reference escaped with
+    orders more data).  Setting W_k := W_q at init makes each hypothesis's
+    self-similarity |q|^2 dominate, so attention starts self-focused and
+    per-hypothesis identity flows to the head from step 0.  Init-only:
+    converted reference checkpoints are untouched and the forward math is
+    exactly the reference's.
+    """
+    import copy as _copy
+
+    if "att_cross" not in params:
+        return params
+    params = dict(params)
+    ac = _copy.deepcopy(dict(params["att_cross"]))
+    kern = np.array(ac["in_proj"]["kernel"])  # writable copy
+    D = kern.shape[0]
+    kern[:, D : 2 * D] = kern[:, :D]  # W_k := W_q
+    ac["in_proj"] = dict(ac["in_proj"])
+    ac["in_proj"]["kernel"] = jnp.asarray(kern)
+    params["att_cross"] = ac
+    return params
+
+
 def scorer_loss(model, params, A, B, target):
     """Listwise ranking CE + direct regression on the ADD proxy.
 
@@ -457,6 +487,7 @@ class ScorerTrainer:
         if params is None:
             dummy = jnp.zeros((cfg.n_hypotheses, *cfg.input_hw, 6), dtype=jnp.float32)
             params = model.init(jax.random.PRNGKey(0), dummy, dummy, cfg.n_hypotheses)["params"]
+            params = _self_biased_cross_attention_init(params)
         self.params = params
         self.opt_state = self.tx.init(self.params)
         self.mesh_arrays = mesh_arrays

@@ -1,0 +1,106 @@
+"""Hypothesis-ranking regression with the BUNDLED generalist weights.
+
+Locks the behavior the TPU parity runs established: both the reference-
+faithful network-only scorer mode (predict_score.py:117-226 semantics) and
+the default hybrid mode must rank the ground-truth-nearest hypothesis first
+among perturbations including an exact 180-degree flip (the classic
+render-and-compare failure mode).
+"""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCENE = os.path.join(REPO, "demo_data", "synth_box")
+WEIGHTS = os.path.join(REPO, "weights")
+
+
+@pytest.fixture(scope="module")
+def scene_dir():
+    if not os.path.exists(os.path.join(SCENE, "rgb", "rgb_0000.png")):
+        subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "make_demo_scene.py"), SCENE, "3"],
+            check=True,
+        )
+    return SCENE
+
+
+@pytest.mark.skipif(not os.path.exists(os.path.join(WEIGHTS, "scorer")),
+                    reason="bundled scorer weights not present")
+@pytest.mark.parametrize(
+    "mode",
+    [
+        pytest.param(
+            "network",
+            marks=pytest.mark.xfail(
+                reason="bundled scorer predates the He/self-biased attention "
+                "init (networks.py/_conv_init): its logits are near input-"
+                "independent (spread ~0.005). Becomes a hard assert once the "
+                "retrained generalist scorer lands.",
+                strict=False,
+            ),
+        ),
+        "hybrid",
+    ],
+)
+def test_scorer_ranks_gt_over_flip(scene_dir, mode):
+    import jax.numpy as jnp
+
+    from sixdof_tpu.estimater import FoundationPose
+    from sixdof_tpu.io.mesh_io import load_mesh
+    from sixdof_tpu.io.readers import DataReader
+    from sixdof_tpu.metrics import adds_err
+    from sixdof_tpu.models.predict import PoseRefinePredictor, ScorePredictor
+    from sixdof_tpu.ops.depth_filter import bilateral_filter_depth, erode_depth
+    from sixdof_tpu.ops.lie import euler_matrix
+
+    class Args:
+        debug = 0
+        box = None
+        mesh = None
+        voxel_size = None
+
+    reader = DataReader(base_dir=scene_dir, shorter_side=120, zfar=np.inf, arguments=Args())
+    mesh = load_mesh(os.path.join(scene_dir, "mesh", "model_scaled_down.obj"))
+    refiner = PoseRefinePredictor(ckpt_dir=os.path.join(WEIGHTS, "refiner"))
+    scorer = ScorePredictor(ckpt_dir=os.path.join(WEIGHTS, "scorer"))
+    scorer.cfg["score_mode"] = mode
+    est = FoundationPose(model_pts=mesh.vertices, model_normals=mesh.vertex_normals,
+                         mesh=mesh, refiner=refiner, scorer=scorer)
+
+    color = reader.get_color(0)
+    depth = reader.get_depth(0)
+    gt = reader.get_gt_pose(0)
+    # ground truth in the centered-mesh frame the engine scores in
+    pose_gt = gt @ np.linalg.inv(est.get_tf_to_centered_mesh())
+
+    rng = np.random.RandomState(0)
+    hyps = [pose_gt]
+    for deg in (15.0, 25.0, 40.0, 60.0, 90.0):
+        d = euler_matrix(*np.deg2rad(rng.randn(3) / np.linalg.norm(rng.randn(3)) * deg))
+        p = pose_gt.copy()
+        p[:3, :3] = np.asarray(d)[:3, :3] @ p[:3, :3]
+        hyps.append(p)
+    flip = pose_gt.copy()
+    flip[:3, :3] = np.asarray(euler_matrix(0.0, np.pi, 0.0))[:3, :3] @ flip[:3, :3]
+    hyps.append(flip)
+    hyps = np.stack(hyps)
+
+    d_f = bilateral_filter_depth(erode_depth(jnp.asarray(depth, jnp.float32), radius=2), radius=2)
+    scores, _ = scorer.predict(mesh=est.mesh, rgb=color, depth=np.asarray(d_f),
+                               K=reader.color_K, ob_in_cams=hyps,
+                               mesh_tensors=est.mesh_tensors, mesh_diameter=est.diameter)
+    scores = np.asarray(scores)
+    order = np.argsort(-scores)
+    model_pts = np.asarray(est.pts)
+    adds = np.array([adds_err(p, pose_gt, model_pts) for p in hyps])
+    # the GT hypothesis (index 0, ADD-S = 0) must win, and in particular must
+    # beat the 180-degree flip (last index)
+    assert order[0] == 0, (
+        f"{mode}: rank0 is hyp {order[0]} (ADD-S {adds[order[0]]*1e3:.1f}mm), "
+        f"scores {scores.round(3).tolist()}"
+    )
+    assert scores[0] > scores[-1], f"{mode}: flip outranks ground truth"
