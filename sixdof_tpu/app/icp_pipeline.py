@@ -101,11 +101,14 @@ def preprocess_source(pcd: PointCloud, background: PointCloud, param, i=0):
     # downsample per (cloud, voxel) instead of recomputing every event
     cache = getattr(preprocess_source, "_bg_cache", None)
     ck = (id(background), float(down_sample))
-    if cache is not None and cache[0] == ck:
+    # the cached background object itself is pinned in the tuple: without it
+    # CPython may recycle a freed cloud's id and serve another scene's
+    # downsample (two readers in one process, e.g. parity_check 'all')
+    if cache is not None and cache[0] == ck and cache[2] is background:
         background_d = cache[1]
     else:
         background_d = pc.voxel_down_sample(background, voxel_size=down_sample * 2)
-        preprocess_source._bg_cache = (ck, background_d)
+        preprocess_source._bg_cache = (ck, background_d, background)
     pcd_down = pc.voxel_down_sample(pcd, voxel_size=down_sample)
 
     plane_model, inliers = pc.segment_plane(

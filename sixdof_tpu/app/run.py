@@ -144,6 +144,25 @@ def main(args):
     pending_poses = deque()  # (frame_idx, PendingPose) awaiting host readback
     timer = StageTimer()
 
+    def drain_pending(keep_frame=None, leave=0):
+        """Flush queued async poses to ob_in_cam in frame order, down to
+        @leave entries.  A queued pose for @keep_frame is returned instead of
+        written (the caller writes it as the current frame's pose)."""
+        kept = None
+        while len(pending_poses) > leave:
+            j, h = pending_poses.popleft()
+            if j == keep_frame:
+                kept = h.numpy()
+            else:
+                np.savetxt(f"{debug_dir}/ob_in_cam/{j:04d}.txt", h.numpy())
+        return kept
+
+    def to_initial_tf(pose):
+        """FoundationPose meters/color-cam -> ICP millimeters/depth-cam
+        (reference run.py:95-96)."""
+        return np.dot(reader.color_to_depth,
+                      reader.scale_translation_to_millimeters(pose))
+
     reader.update()
     heatmap, color_original, heatmap_vis, _ = reader.get_heatmap(reader.get_color(i))
     overlay = create_heatmap_overlay(color_original, heatmap_vis)
@@ -173,8 +192,7 @@ def main(args):
                 pose = est.register(K=reader.color_K, rgb=color, depth=depth, ob_mask=mask,
                                     iteration=args.est_refine_iter)
 
-            pose_in_mm = reader.scale_translation_to_millimeters(pose)
-            initial_transformation = np.dot(reader.color_to_depth, pose_in_mm)
+            initial_transformation = to_initial_tf(pose)
 
             with timer.stage("icp_refine"):
                 _, initial_icp_result, _, target_processed = refine_pose_with_icp(
@@ -221,20 +239,15 @@ def main(args):
                 out = est.track_one(rgb=color, depth=depth, K=reader.color_K,
                                     iteration=args.track_refine_iter, sync=want_sync)
             if want_sync:
-                while pending_poses:  # keep ob_in_cam writes ordered
-                    j, h = pending_poses.popleft()
-                    np.savetxt(f"{debug_dir}/ob_in_cam/{j:04d}.txt", h.numpy())
+                drain_pending()  # keep ob_in_cam writes ordered
                 pose = out
             else:
                 pending_poses.append((i, out))
-                while len(pending_poses) > pipeline_depth:
-                    j, h = pending_poses.popleft()
-                    np.savetxt(f"{debug_dir}/ob_in_cam/{j:04d}.txt", h.numpy())
+                drain_pending(leave=pipeline_depth)
                 pose = None  # dead-reckoning state has no consumer until the
                 # next capture frame, which re-syncs; skip the host math
             if pose is not None:
-                pose_in_mm = reader.scale_translation_to_millimeters(pose)
-                initial_transformation = np.dot(reader.color_to_depth, pose_in_mm)
+                initial_transformation = to_initial_tf(pose)
 
             if not capture_queue.empty():
                 capture_queue.get()
@@ -246,14 +259,8 @@ def main(args):
             if detect_defect and pose is None:
                 # capture request landed between the pre-track queue check
                 # and here (viewer thread): sync this frame's pose after all
-                while pending_poses:
-                    j, h = pending_poses.popleft()
-                    if j != i:
-                        np.savetxt(f"{debug_dir}/ob_in_cam/{j:04d}.txt", h.numpy())
-                    else:
-                        pose = h.numpy()
-                pose_in_mm = reader.scale_translation_to_millimeters(pose)
-                initial_transformation = np.dot(reader.color_to_depth, pose_in_mm)
+                pose = drain_pending(keep_frame=i)
+                initial_transformation = to_initial_tf(pose)
             if detect_defect:
                 heatmap, color_original, heatmap_vis, _ = reader.get_heatmap(reader.get_color(i))
                 overlay = create_heatmap_overlay(color_original, heatmap_vis)
@@ -270,13 +277,18 @@ def main(args):
                 pix = heatmap_to_points(heatmap, 0.75)
                 if pix:
                     rays, intensities = compute_rays(pix, reader.color_pinhole)
+                    ray_mask = np.ones(len(rays), dtype=bool)
                 else:
+                    # static-shape placeholder ray, masked OUT so no defect
+                    # point is fabricated (reference returns an empty pcd
+                    # when nothing clears the threshold)
                     rays = np.array([[0.0, 0.0, 1.0]])
                     intensities = np.zeros(1)
+                    ray_mask = np.zeros(1, dtype=bool)
                 current_result, new_intersection_pcd = capture_event(
                     source_processed, target_processed, initial_transformation,
                     reader.parameters, reader.target_mesh, rays,
-                    np.ones(len(rays), dtype=bool), intensities,
+                    ray_mask, intensities,
                     reader.color_to_depth, ctx=capture_ctx,
                 )
                 current_transformation = current_result.transformation
@@ -324,9 +336,7 @@ def main(args):
                 cv2.imwrite(f"{debug_dir}/track_vis/{i:04d}.png", vis[..., ::-1])
         i += 1
 
-    while pending_poses:  # drain the readback pipeline
-        j, h = pending_poses.popleft()
-        np.savetxt(f"{debug_dir}/ob_in_cam/{j:04d}.txt", h.numpy())
+    drain_pending()  # drain the readback pipeline
     reader.stop_camera()
     timer.log()
     if frame_times:

@@ -136,8 +136,16 @@ class FoundationPose:
         self.normals = jnp.asarray(nrm, dtype=jnp.float32)
         self.mesh = mesh
         self.mesh_tensors = make_mesh_arrays(mesh)
-        self.backface_cull = bool(mesh.is_watertight())
+        # closed + consistently wound is necessary but not sufficient: the
+        # winding must also be OUTWARD (positive signed volume), else culling
+        # keeps the far surface and every render's depth is off by the
+        # object thickness
+        self.backface_cull = bool(mesh.is_watertight()) and mesh.signed_volume() > 0
         logging.info(f"backface_cull={self.backface_cull}")
+        # refresh per-mesh state on predictors created before this reset
+        for pred in (getattr(self, "refiner", None), getattr(self, "scorer", None)):
+            if pred is not None:
+                pred.cfg["backface_cull"] = self.backface_cull
 
         if symmetry_tfs is None:
             self.symmetry_tfs = np.eye(4)[None]
@@ -241,7 +249,7 @@ class FoundationPose:
                 normalize_xyz=bool(ref.cfg["normalize_xyz"]),
                 trans_rep=ref.cfg["trans_rep"], rot_rep=ref.cfg["rot_rep"],
                 score_mode=sc.cfg.get("score_mode", "hybrid"),
-                backface_cull=bool(ref.cfg.get("backface_cull", False)),
+                backface_cull=self.backface_cull,
             )
             poses_np = np.asarray(poses_sorted)
             scores_np = np.asarray(scores_sorted)
@@ -269,12 +277,12 @@ class FoundationPose:
                 mesh=self.mesh, mesh_tensors=self.mesh_tensors, rgb=rgb, depth=depth,
                 K=K, ob_in_cams=poses, xyz_map=xyz_map, glctx=None,
                 mesh_diameter=self.diameter, iteration=stage_iters, get_vis=False,
-                out_hw=self.coarse_hw,
+                out_hw=self.coarse_hw, backface_cull=self.backface_cull,
             )
             coarse_scores, _ = self.scorer.predict(
                 mesh=self.mesh, rgb=rgb, depth=depth, K=K, ob_in_cams=coarse,
                 mesh_tensors=self.mesh_tensors, glctx=None, mesh_diameter=self.diameter,
-                out_hw=self.coarse_hw,
+                out_hw=self.coarse_hw, backface_cull=self.backface_cull,
             )
             keep = np.argsort(-np.asarray(coarse_scores)[:n_hypo])[:keep_k]
             poses = np.asarray(coarse)[keep]
@@ -290,6 +298,7 @@ class FoundationPose:
             mesh=self.mesh, mesh_tensors=self.mesh_tensors, rgb=rgb, depth=depth,
             K=K, ob_in_cams=poses, xyz_map=xyz_map, glctx=None,
             mesh_diameter=self.diameter, iteration=iteration, get_vis=self.debug >= 2,
+            backface_cull=self.backface_cull,
         )
         if vis is not None:
             import cv2
@@ -299,7 +308,7 @@ class FoundationPose:
         scores, vis = self.scorer.predict(
             mesh=self.mesh, rgb=rgb, depth=depth, K=K, ob_in_cams=poses,
             mesh_tensors=self.mesh_tensors, glctx=None, mesh_diameter=self.diameter,
-            get_vis=self.debug >= 2,
+            get_vis=self.debug >= 2, backface_cull=self.backface_cull,
         )
 
         scores_np = np.asarray(scores)[:n_hypo]
@@ -446,6 +455,7 @@ class FoundationPose:
             out_hw=tuple(ref.cfg["input_resize"]),
             normalize_xyz=bool(ref.cfg["normalize_xyz"]),
             trans_rep=ref.cfg["trans_rep"], rot_rep=ref.cfg["rot_rep"],
+            backface_cull=self.backface_cull,
         )
         logging.info("pose done")
         if self.debug >= 2:

@@ -171,6 +171,16 @@ class TriMesh:
         rev = directed[:, 1] * n + directed[:, 0]
         return bool(np.isin(keys, rev).all())
 
+    def signed_volume(self):
+        """Divergence-theorem volume: positive iff a closed, consistently
+        wound mesh is oriented OUTWARD.  Backface culling is only an identity
+        for outward-wound closed meshes — an inward-wound closed mesh passes
+        is_watertight() yet culling it keeps the far surface."""
+        v0 = self.vertices[self.faces[:, 0]]
+        v1 = self.vertices[self.faces[:, 1]]
+        v2 = self.vertices[self.faces[:, 2]]
+        return float(np.einsum("ij,ij->i", v0, np.cross(v1, v2)).sum() / 6.0)
+
 
 # --------------------------------------------------------------------- OBJ --
 

@@ -180,6 +180,7 @@ class DataReader(_ReaderCommon):
         self.color_files = sorted(glob.glob(f"{self.base_dir}/rgb/*.png"))
         self.file_id = 0
         self._pf_cache = {}
+        self._pf_inflight = {}
         self._pf_lock = threading.Lock()
         self.parameters = self.update_config(arguments)
         self.get_intrinsics()
@@ -262,17 +263,29 @@ class DataReader(_ReaderCommon):
         import threading
 
         with self._pf_lock:
-            entry = self._pf_cache.get(kind)
-            val = entry[1] if entry is not None and entry[0] == i else None
+            cache = self._pf_cache.setdefault(kind, {})
+            inflight = self._pf_inflight.setdefault(kind, set())
+            val = cache.get(i)
         if val is None:
             val = loader(i)
         nxt = i + 1
-        if nxt < len(self.color_files):
+        spawn = False
+        with self._pf_lock:
+            # keep the just-served frame cached: capture frames read the same
+            # index twice (track + heatmap) and must not re-decode
+            cache[i] = val
+            for k in [k for k in cache if k < i]:
+                del cache[k]  # bounded: holds only frames i and i+1
+            if nxt < len(self.color_files) and nxt not in cache and nxt not in inflight:
+                inflight.add(nxt)
+                spawn = True
+        if spawn:
 
             def work():
                 out = loader(nxt)
                 with self._pf_lock:
-                    self._pf_cache[kind] = (nxt, out)  # one frame per kind ahead
+                    inflight.discard(nxt)
+                    cache[nxt] = out
 
             threading.Thread(target=work, daemon=True).start()
         return val

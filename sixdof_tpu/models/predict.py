@@ -407,7 +407,7 @@ class PoseRefinePredictor(_PredictorBase):
 
     def predict(self, rgb, depth, K, ob_in_cams, xyz_map, normal_map=None, get_vis=False,
                 mesh=None, mesh_tensors: MeshArrays = None, glctx=None, mesh_diameter=None,
-                iteration=5, out_hw=None):
+                iteration=5, out_hw=None, backface_cull=None):
         """@rgb: (H,W,3) uint8/float; @ob_in_cams: (N,4,4); returns (poses, vis).
 
         @out_hw: optional crop-resolution override (defaults to the cfg's
@@ -435,7 +435,10 @@ class PoseRefinePredictor(_PredictorBase):
             normalize_xyz=bool(self.cfg["normalize_xyz"]),
             trans_rep=self.cfg["trans_rep"],
             rot_rep=self.cfg["rot_rep"],
-            backface_cull=bool(self.cfg.get("backface_cull", False)),
+            # per-call override: the flag is per-mesh state, and one predictor
+            # may serve several FoundationPose instances (different meshes)
+            backface_cull=bool(self.cfg.get("backface_cull", False)
+                               if backface_cull is None else backface_cull),
         )
         vis = None
         if get_vis:
@@ -479,7 +482,7 @@ class ScorePredictor(_PredictorBase):
 
     def predict(self, rgb, depth, K, ob_in_cams, normal_map=None, get_vis=False, mesh=None,
                 mesh_tensors: MeshArrays = None, glctx=None, mesh_diameter=None,
-                out_hw=None):
+                out_hw=None, backface_cull=None):
         rgb01 = jnp.asarray(np.asarray(rgb), dtype=jnp.float32)
         if float(np.asarray(rgb).max(initial=0.0)) > 1.5:
             rgb01 = rgb01 / 255.0
@@ -502,7 +505,8 @@ class ScorePredictor(_PredictorBase):
                 out_hw=tuple(out_hw) if out_hw is not None else tuple(self.cfg["input_resize"]),
                 normalize_xyz=bool(self.cfg["normalize_xyz"]),
                 mode=self.cfg.get("score_mode", "network"),
-                backface_cull=bool(self.cfg.get("backface_cull", False)),
+                backface_cull=bool(self.cfg.get("backface_cull", False)
+                                   if backface_cull is None else backface_cull),
             )
 
         max_batch = self.cfg.get("max_batch")
@@ -517,8 +521,14 @@ class ScorePredictor(_PredictorBase):
         pose_dataset.py:129-134 select_by_indices): each round splits the
         surviving set into max_batch-sized chunks (the last padded by
         repeating its first pose — static shapes for jit), keeps each chunk's
-        argmax, and the FINAL round's scores+100 land in the global array;
-        eliminated hypotheses keep score 0."""
+        argmax, and the FINAL round's scores+100 land in the global array.
+
+        Deviation from the reference: eliminated hypotheses keep their
+        last-seen chunk logit instead of 0.  The reference's only consumer is
+        the final argmax, for which this is identical (+100 dominates and the
+        final round's ordering is untouched) — but the staged register path
+        also top-K-prunes on these scores (estimater.py), and there a zero
+        for every eliminated hypothesis would make the cut arbitrary."""
         n = len(poses_np)
         global_ids = np.arange(n)
         scores_global = np.zeros(n, dtype=np.float32)
@@ -535,5 +545,6 @@ class ScorePredictor(_PredictorBase):
             winners = []
             for chunk in padded.reshape(-1, max_batch):
                 s = np.asarray(score_fn(poses_np[chunk]))
+                scores_global[chunk] = s  # last-seen logits (see docstring)
                 winners.append(chunk[int(np.argmax(s))])
             global_ids = np.asarray(winners)

@@ -224,9 +224,14 @@ def improve_and_raytrace(src, src_mask, tgt, tgt_normals, tgt_mask, init_tfs, ma
 
     valid = (fit > 0) & (rmse > 0)
     any_valid = valid.any()
-    # improve_result's np.lexsort((rmse, -fit)): fitness desc, rmse asc;
+    # improve_result's np.lexsort((rmse, -fit)) — fitness desc, then rmse asc
+    # — done in two exact stages (a combined -fit*BIG+rmse key can invert the
+    # order once rmse differences exceed BIG * the 1/N fitness quantum).
+    # Every restart shares the same source cloud, so equal inlier counts give
+    # bitwise-equal fitness and the == tie test is exact.
+    max_fit = jnp.max(jnp.where(valid, fit, -jnp.inf))
+    key = jnp.where(valid & (fit == max_fit), rmse, jnp.inf)
     # all-invalid falls back to the appended initial transform
-    key = jnp.where(valid, -fit * 1e6 + rmse, jnp.inf)
     best = jnp.where(any_valid, jnp.argmin(key), fit.shape[0] - 1)
 
     best_tf = tf_all[best]  # source->target (scene->object)

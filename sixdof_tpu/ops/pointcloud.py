@@ -286,14 +286,25 @@ def smooth_resample(pcd: PointCloud, radius, n_iterations, n_points, max_nn=16) 
     sm = pts
     for _ in range(int(n_iterations)):
         sm = (sm[idx] * w[..., None]).sum(axis=1) / cnt
-    # farthest-point sampling to n_points (uniform blue-noise coverage)
+    # farthest-point sampling to n_points (uniform blue-noise coverage).
+    # FPS is O(m * n_candidates) with a sequential host loop; keep it off the
+    # capture-latency budget by capping candidates (uniform random pre-pick —
+    # FPS spreads the survivors) and using f32 squared distances (argmax is
+    # sqrt-invariant).
     m = min(int(n_points), n)
-    sel = np.empty(m, dtype=np.int64)
-    sel[0] = 0
-    dmin = np.linalg.norm(sm - sm[0], axis=1)
+    cand_ids = np.arange(n)
+    cap = 8 * m
+    if n > cap:
+        cand_ids = np.random.RandomState(0).choice(n, cap, replace=False)
+    cand = np.ascontiguousarray(sm[cand_ids], dtype=np.float32)
+    sel_local = np.empty(m, dtype=np.int64)
+    sel_local[0] = 0
+    dmin = ((cand - cand[0]) ** 2).sum(axis=1)
     for j in range(1, m):
-        sel[j] = int(np.argmax(dmin))
-        dmin = np.minimum(dmin, np.linalg.norm(sm - sm[sel[j]], axis=1))
+        i = int(np.argmax(dmin))
+        sel_local[j] = i
+        dmin = np.minimum(dmin, ((cand - cand[i]) ** 2).sum(axis=1))
+    sel = cand_ids[sel_local]
     out = PointCloud(
         sm[sel],
         None if pcd.colors is None else pcd.colors[sel],

@@ -284,3 +284,30 @@ def test_capture_event_ctx_matches_no_ctx(rng):
         if len(pcd_a):
             np.testing.assert_allclose(np.asarray(pcd_b.points), np.asarray(pcd_a.points),
                                        atol=1e-6)
+
+
+def test_capture_event_all_masked_rays_yields_empty_pcd(rng):
+    """The app's empty-heatmap contract (app/run.py): when no heatmap pixel
+    clears the threshold it sends one placeholder ray with ray_mask=False —
+    capture_event must return an EMPTY defect pcd (reference ray_tracing
+    returns an empty PointCloud), not a fabricated on-axis point."""
+    from sixdof_tpu.io.mesh_io import PointCloud, TriMesh
+
+    true_tf = euler_matrix(0.1, 0.2, -0.15)
+    true_tf[:3, 3] = [2.0, -6.0, 480.0]
+    source, background = make_scene(rng, true_tf)
+    src_p, _, _ = ip.preprocess_source(source, background, ICP_PARAMS, i=1)
+    target_processed, _ = ip.preprocess_target(
+        PointCloud(make_object_cloud(rng, 2500)), ICP_PARAMS)
+
+    v = np.array([[0, 0, -25.0], [35.0, 0, 0], [-20.0, 25.0, 0], [-20.0, -25.0, 0]])
+    f = np.array([[0, 1, 2], [0, 2, 3], [0, 3, 1], [1, 3, 2]])
+    mesh = TriMesh(v, f)
+    init = true_tf.copy()
+
+    rays = np.array([[0.0, 0.0, 1.0]])  # straight through the object
+    res, pcd = ip.capture_event(src_p, target_processed, init.copy(), ICP_PARAMS,
+                                mesh, rays, np.zeros(1, dtype=bool), np.zeros(1),
+                                np.eye(4), n_restarts=4, seed=7)
+    assert len(pcd) == 0
+    assert res.fitness > 0  # the ICP part still ran

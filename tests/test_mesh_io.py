@@ -109,3 +109,24 @@ def test_decimate_mesh_vertex_clustering():
     assert len(dec2.faces) < len(mesh.faces)
     same = decimate_mesh(dec, target_tris=10000)
     assert len(same.faces) == len(dec.faces)
+
+
+def test_signed_volume_orientation_gates_backface_cull():
+    """An inward-wound closed mesh passes is_watertight() (winding is
+    consistent) but must NOT enable backface culling: signed_volume() < 0
+    detects it (estimater.py gate)."""
+    import numpy as np
+
+    from sixdof_tpu.io.mesh_io import TriMesh
+    from sixdof_tpu.ops.hypotheses import icosphere
+
+    v, f = icosphere(subdivisions=2)
+    outward = TriMesh(v * 0.05, f)
+    assert outward.is_watertight()
+    assert outward.signed_volume() > 0
+
+    inward = TriMesh(v * 0.05, f[:, ::-1].copy())  # flip every face
+    assert inward.is_watertight()  # still consistently wound...
+    assert inward.signed_volume() < 0  # ...but inward: culling invalid
+    # the two volumes are exact negatives
+    assert abs(inward.signed_volume() + outward.signed_volume()) < 1e-12
