@@ -226,7 +226,7 @@ def sample_z_vals(key, origins, dirs, target_d, n_uniform, n_depth, truncation,
     mycuda sampleRaysUniformOccupiedVoxels) with static-shape sampling.
     """
     N = origins.shape[0]
-    k1, k2 = jax.random.split(key)
+    k1, k2, k3 = jax.random.split(key, 3)
     near, far = ray_box_intersect(origins, dirs)
     far = jnp.minimum(far, far_cap)
     u = (jnp.arange(n_uniform) + jax.random.uniform(k1, (N, n_uniform))) / n_uniform
@@ -235,7 +235,12 @@ def sample_z_vals(key, origins, dirs, target_d, n_uniform, n_depth, truncation,
     lo = target_d[:, None] - truncation
     hi = target_d[:, None] + truncation * neg_trunc_ratio
     z_dep = lo + (hi - lo) * jax.random.uniform(k2, (N, n_depth))
-    z_dep = jnp.where(has_depth[:, None], z_dep, z_uni[:, :1])
+    # rays without valid depth get a SECOND stratified uniform set over
+    # [near, far] (reference nerf_runner.py:791-795), not a replicated first
+    # sample that would overweight the box entry in the free-space loss
+    u2 = (jnp.arange(n_depth) + jax.random.uniform(k3, (N, n_depth))) / n_depth
+    z_uni2 = near[:, None] + (far - near)[:, None] * u2
+    z_dep = jnp.where(has_depth[:, None], z_dep, z_uni2)
     z = jnp.sort(jnp.concatenate([z_uni, z_dep], axis=-1), axis=-1)
     valid = z > 0
     return z, valid
@@ -277,6 +282,8 @@ class ObjectFieldConfig(NamedTuple):
     sh_degree: int = 3
     frame_feat_dim: int = 2
     optimize_poses: bool = True
+    max_trans: float = 0.02  # meters; tanh bound on pose correction (config_ycbv.yml:95)
+    max_rot: float = 10.0  # degrees (config_ycbv.yml:96)
 
 
 def compute_scene_bounds(pts):
@@ -339,7 +346,16 @@ def make_loss_fn(cfg_ref: ObjectFieldConfig, spec_ref: HashGridSpec, sc: float):
         if cfg_ref.optimize_poses:
             from ..ops.lie import se3_exp_map
 
-            delta = se3_exp_map(params.pose_deltas[fids])
+            # reference PoseArray (nerf_helpers.py:44-64): tanh-bounded
+            # corrections, and frame 0 pinned to identity — otherwise the
+            # gauge drifts and the extracted mesh is misaligned relative to
+            # the tracked cam_in_ob poses
+            theta = jnp.tanh(params.pose_deltas[fids])
+            tw = jnp.concatenate(
+                [theta[:, :3] * cfg_ref.max_trans,
+                 theta[:, 3:6] * (cfg_ref.max_rot * jnp.pi / 180.0)], axis=-1)
+            tw = jnp.where((fids == 0)[:, None], 0.0, tw)
+            delta = se3_exp_map(tw)
             o = (delta[:, :3, :3] @ o[..., None])[..., 0] + delta[:, :3, 3]
             d = (delta[:, :3, :3] @ d[..., None])[..., 0]
 
@@ -441,7 +457,13 @@ class ObjectFieldRunner:
         self.global_step = 0
         self._rng = np.random.RandomState(seed)
 
-        loss_fn = make_loss_fn(cfg, spec, float(self.sc_factor))
+        self._build_step()
+
+    def _build_step(self):
+        """(Re)build the jitted train step — the loss closure bakes sc_factor,
+        so a load_weights that restores a different normalization must call
+        this again."""
+        loss_fn = make_loss_fn(self.cfg, self.spec, float(self.sc_factor))
 
         def step(params, opt_state, batch, key):
             (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch, key)
@@ -463,13 +485,16 @@ class ObjectFieldRunner:
                 self.params, self.opt_state, batch, sub
             )
             self.global_step += 1
-            losses.append(float(loss))
+            # keep the loss on device: a float() here is a blocking host
+            # round-trip per step (~45 ms over the TPU tunnel); read all
+            # scalars back in one transfer after the loop
+            losses.append(loss)
             if log_every and i % log_every == 0:
                 logging.info(
-                    f"field step {i}: loss {losses[-1]:.4f} "
+                    f"field step {i}: loss {float(loss):.4f} "
                     + " ".join(f"{k}={float(v):.4f}" for k, v in parts.items())
                 )
-        return losses
+        return np.asarray(jnp.stack(losses)).tolist() if losses else []
 
     # -------------------------------------------------------- checkpointing --
 
@@ -502,6 +527,15 @@ class ObjectFieldRunner:
             pose_deltas=jnp.asarray(f["pose_deltas"]),
         )
         self.global_step = int(restored["params"]["step"])
+        # restore the normalization the field was TRAINED in: the hash grid
+        # and any extracted mesh live in that normalized frame, not the one
+        # computed from this runner's (possibly different) frame set
+        if "sc_factor" in restored["params"]:
+            old_sc = float(self.sc_factor)
+            self.sc_factor = float(np.asarray(restored["params"]["sc_factor"]))
+            self.translation = np.asarray(restored["params"]["translation"])
+            if self.sc_factor != old_sc:
+                self._build_step()
         self.opt_state = self.tx.init(self.params)
         return self
 
@@ -540,7 +574,11 @@ class ObjectFieldRunner:
             return mesh
         pts = jnp.asarray(mesh.vertices, dtype=jnp.float32)
         sdf, geo = field_sdf(self.params, pts, self.spec)
-        dirs = jnp.asarray(mesh.vertex_normals, dtype=jnp.float32)
+        # view dirs point camera->surface during training (dot(d, outward
+        # normal) < 0), so query with the INWARD normal to stay in-distribution
+        vn = np.asarray(mesh.vertex_normals, dtype=np.float32)
+        vn = vn / np.maximum(np.linalg.norm(vn, axis=-1, keepdims=True), 1e-12)
+        dirs = jnp.asarray(-vn)
         ff = jnp.tile(self.params.frame_features[frame_id][None], (len(mesh.vertices), 1))
         rgb = jax.nn.sigmoid(field_color(self.params, geo, dirs, ff, self.cfg.sh_degree))
         mesh.vertex_colors = np.asarray(rgb) * 255.0
@@ -592,10 +630,11 @@ class ObjectFieldRunner:
             + l2[None, ..., None] * tri[:, None, None, 2]
         ).reshape(-1, 3)  # (T*cell*cell, 3)
 
-        # face normals as view dirs + the frame's latent, chunked field query
+        # INWARD face normals as view dirs (training dirs run camera->surface,
+        # i.e. against the outward normal) + the frame's latent, chunked query
         n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
         n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
-        dirs = np.repeat(n, cell * cell, axis=0)
+        dirs = np.repeat(-n, cell * cell, axis=0)
         ff_row = np.asarray(self.params.frame_features[frame_id])
         rgb = np.empty((len(pts), 3), dtype=np.float32)
 

@@ -142,6 +142,24 @@ def execute_global_registration(source, target, source_fpfh, target_fpfh, param)
     ok = np.all((es > edge_sim * et) & (et > edge_sim * es), axis=-1)
 
     tfs = _kabsch_batch(s3, t3)
+
+    # distance checker (CorrespondenceCheckerBasedOnDistance): the sampled
+    # correspondences themselves must land within distance_threshold
+    sp3 = np.einsum("tij,tkj->tki", tfs[:, :3, :3], s3) + tfs[:, None, :3, 3]
+    ok &= np.all(np.linalg.norm(sp3 - t3, axis=-1) < dist_thresh, axis=-1)
+
+    # normal checker (CorrespondenceCheckerBasedOnNormal): rotated source
+    # normals within angle_threshold of the target normals (unoriented, like
+    # Open3D FPFH clouds: compare |cos|)
+    angle_thresh = float(params.get("angle_threshold", 0.0) or 0.0)
+    if angle_thresh > 0 and source.normals is not None and target.normals is not None:
+        sn3 = source.normals[tri]
+        tn3 = target.normals[corr][tri]
+        rn3 = np.einsum("tij,tkj->tki", tfs[:, :3, :3], sn3)
+        cosang = np.abs(np.einsum("tki,tki->tk", rn3, tn3))
+        cosang /= np.maximum(
+            np.linalg.norm(rn3, axis=-1) * np.linalg.norm(tn3, axis=-1), 1e-12)
+        ok &= np.all(cosang >= np.cos(angle_thresh), axis=-1)
     best = RegistrationResult()
     n_eval = 0
     for ti in np.where(ok)[0]:

@@ -23,16 +23,21 @@ def transform_pts(pts, tf):
 
     @pts: (...,N,3);  @tf: (...,4,4) — broadcasting like reference
     Utils.py:529-536 (a batch of tfs applied to a shared point set maps to
-    (...,B,N,3)).
+    (...,B,N,3)).  The broadcast decision is by RANK, never by shape values:
+    any batched tf gets a point axis inserted, so tf (B,4,4) on pts (N,3)
+    yields (B,N,3) even when B == N (a value-based test silently flipped to
+    per-point application on that coincidence).  Per-point transforms are
+    still expressible as pts (N,1,3) with tf (N,4,4) -> (N,1,3).
     """
-    if tf.ndim >= 3 and tf.shape[-3] != pts.shape[-2]:
+    if tf.ndim >= 3 and tf.ndim >= pts.ndim:
         tf = tf[..., None, :, :]
     return (tf[..., :-1, :-1] @ pts[..., None] + tf[..., :-1, -1:])[..., 0]
 
 
 def transform_dirs(dirs, tf):
-    """Rotate direction vectors; mirrors Utils.py:539-546."""
-    if tf.ndim >= 3 and tf.shape[-3] != dirs.shape[-2]:
+    """Rotate direction vectors; mirrors Utils.py:539-546.  Broadcasting as
+    in transform_pts (rank-based)."""
+    if tf.ndim >= 3 and tf.ndim >= dirs.ndim:
         tf = tf[..., None, :, :]
     return (tf[..., :3, :3] @ dirs[..., None])[..., 0]
 

@@ -156,14 +156,6 @@ def icp_batch(src, src_mask, tgt, tgt_normals, tgt_mask, init_tfs, max_dists, ma
 
 
 @functools.partial(jax.jit, static_argnames=())
-def evaluate_batch(src, src_mask, tgt, tgt_mask, tfs, max_dist):
-    """vmapped single-pass evaluation (used by the z-offset ladder, replacing
-    the reference's 1-iteration-ICP bisection src/pose_estimation.py:649-680)."""
-    fn = lambda tf: evaluate_registration(src, src_mask, tgt, tgt_mask, tf, max_dist)
-    return jax.vmap(fn)(tfs)
-
-
-@functools.partial(jax.jit, static_argnames=())
 def icp_one_iter_batch(src, src_mask, tgt, tgt_normals, tgt_mask, init_tfs, max_dist):
     """vmapped 1-iteration ICP evaluation (z-ladder scoring like the
     reference's max_iteration=1 probes)."""

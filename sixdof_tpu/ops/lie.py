@@ -8,6 +8,7 @@ TPU-native replacement for the reference's pytorch3d dependency
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -48,10 +49,14 @@ def so3_exp_map(log_rot):
 
 
 def so3_log_map(R):
-    """Rotation matrices (...,3,3) -> axis-angle (...,3)."""
+    """Rotation matrices (...,3,3) -> axis-angle (...,3).
+
+    Robust at BOTH singularities: series near theta=0, and near theta=pi the
+    axis is recovered from the symmetric part (the antisymmetric part
+    axis*2sin(theta) vanishes there — e.g. diag(1,-1,-1) would map to the
+    zero vector with the naive formula)."""
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    cos = jnp.clip((trace - 1.0) / 2.0, -1.0 + 1e-7, 1.0 - 1e-7)
-    theta = jnp.arccos(cos)
+    cos = jnp.clip((trace - 1.0) / 2.0, -1.0, 1.0)
     # off-diagonal differences give axis*2sin(theta)
     w = jnp.stack(
         [
@@ -61,8 +66,30 @@ def so3_log_map(R):
         ],
         axis=-1,
     )
-    scale = jnp.where(theta > 1e-6, theta / (2.0 * jnp.sin(theta)), 0.5 + theta * theta / 12.0)
-    return w * scale[..., None]
+    # theta via atan2(sin, cos): arccos of the trace alone is ill-conditioned
+    # near pi (f32 trace error 1e-7 -> ~1e-4 theta error -> ~10% sin error)
+    sin = 0.5 * jnp.linalg.norm(w, axis=-1)
+    theta = jnp.arctan2(sin, cos)
+    scale = jnp.where(theta > 1e-6, theta / jnp.maximum(2.0 * sin, 1e-12),
+                      0.5 + theta * theta / 12.0)
+    generic = w * scale[..., None]
+
+    # near pi: R_ii = cos + a_i^2 (1-cos)  ->  |a_i|; signs from the
+    # symmetric part S_ij = 2 a_i a_j (1-cos) relative to the largest |a_k|
+    diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1)
+    a2 = jnp.clip((diag - cos[..., None]) / jnp.maximum(1.0 - cos[..., None], 1e-9), 0.0, 1.0)
+    a = jnp.sqrt(a2)
+    S = R + jnp.swapaxes(R, -1, -2)
+    k = jax.nn.one_hot(jnp.argmax(a2, axis=-1), 3, dtype=R.dtype)
+    Sk = jnp.einsum("...i,...ij->...j", k, S)  # row of the dominant axis
+    # S's DIAGONAL carries a 2cos term (S_ii = 2R_ii), so force the dominant
+    # element's sign to +1 explicitly; off-diagonals are 2 a_i a_j (1-cos)
+    signs = jnp.where(k > 0.5, 1.0, jnp.where(Sk >= 0, 1.0, -1.0))
+    axis = a * signs
+    axis = axis / jnp.maximum(jnp.linalg.norm(axis, axis=-1, keepdims=True), 1e-9)
+    near_pi = axis * theta[..., None]
+
+    return jnp.where((theta > jnp.pi - 1e-3)[..., None], near_pi, generic)
 
 
 def rotation_6d_to_matrix(d6):

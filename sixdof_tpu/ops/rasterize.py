@@ -217,16 +217,20 @@ _NEVER_ROW = np.zeros((4, 3), dtype=np.float32)
 _NEVER_ROW[0] = [0.0, 0.0, -1.0]  # l0(p) == -1: never inside
 
 
-def _bin_triangles_bands(coef, valid, vy, faces, n_bands, band_rows, cap):
+def _bin_triangles_bands(coef, valid, vy, faces, n_bands, band_rows, cap, vz=None):
     """Row-band triangle binning for the banded z-buffer kernel.
 
     Each band of `band_rows` pixel rows gets the <= cap triangles whose
     y-extent overlaps it (selection via top_k over a rank key — XLA-native,
-    no ragged shapes).  Overflow beyond cap drops the LAST triangle ids;
-    callers size cap so real workloads never overflow (crop windows scale
-    with the object, so per-band occupancy is stable by construction).
+    no ragged shapes).  Callers size cap so real workloads never overflow
+    (crop windows scale with the object, so per-band occupancy is stable by
+    construction); if a degenerate pose DOES overflow a band, the candidates
+    kept are the NEAREST by camera z (when @vz is given) so the dropped
+    triangles are the ones a z-buffer would most likely occlude anyway —
+    never an arbitrary id-ordered cut.
 
-    @coef: (B,T,4,3); @valid: (B,T); @vy: (B,V) crop-space vertex y.
+    @coef: (B,T,4,3); @valid: (B,T); @vy: (B,V) crop-space vertex y;
+    @vz: optional (B,V) camera-space vertex z for the nearest-first rank.
     Returns (banded_coef (B,nb,cap,4,3), ids (B,nb,cap) int32 [T = pad]).
     """
     B, T = valid.shape
@@ -238,10 +242,16 @@ def _bin_triangles_bands(coef, valid, vy, faces, n_bands, band_rows, cap):
     overlap = (
         (ymax[:, None, :] >= lo) & (ymin[:, None, :] <= hi) & valid[:, None, :]
     )  # (B,nb,T)
-    tid = jnp.arange(T, dtype=jnp.int32)
-    key = jnp.where(overlap, 2 * T - tid[None, None, :], T - tid[None, None, :])
-    topv, topi = jax.lax.top_k(key, cap)  # (B,nb,cap)
-    ids = jnp.where(topv > T, topi, T).astype(jnp.int32)
+    if vz is not None:
+        tzmin = vz[:, faces].min(axis=-1)  # (B,T)
+        key = jnp.where(overlap, -tzmin[:, None, :], -jnp.inf)
+        topv, topi = jax.lax.top_k(key, cap)  # (B,nb,cap) nearest-first
+        ids = jnp.where(jnp.isfinite(topv), topi, T).astype(jnp.int32)
+    else:
+        tid = jnp.arange(T, dtype=jnp.int32)
+        key = jnp.where(overlap, 2 * T - tid[None, None, :], T - tid[None, None, :])
+        topv, topi = jax.lax.top_k(key, cap)  # (B,nb,cap)
+        ids = jnp.where(topv > T, topi, T).astype(jnp.int32)
 
     never = jnp.asarray(_NEVER_ROW)[None]
     coef_ext = jnp.concatenate([coef, jnp.broadcast_to(never, (B, 1, 4, 3))], axis=1)
@@ -429,7 +439,8 @@ def render_batch(
         # chunks beyond each band's true count, so a large cap costs nothing
         cap = int(min(T + ((-T) % pc), ((T // 2) // pc + 1) * pc))  # pc-multiple
         banded, ids_band = _bin_triangles_bands(
-            coef, valid, uv_all[..., 1], mesh.faces, n_bands, band_rows, cap
+            coef, valid, uv_all[..., 1], mesh.faces, n_bands, band_rows, cap,
+            vz=z_all,
         )
         counts = (ids_band < T).sum(axis=-1).astype(jnp.int32)  # (B,nb)
         grouped = group_banded(banded, tri_chunk=pc)

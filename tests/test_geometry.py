@@ -124,3 +124,20 @@ def test_symmetry_tfs_from_info():
         {"symmetries_continuous": [{"axis": [0, 0, 1], "offset": [0, 0, 0]}]}, 90
     )
     assert tfs.shape == (5, 4, 4)  # identity + 4 discrete steps
+
+
+def test_transform_pts_batch_equals_points_count(rng):
+    """tf (B,4,4) on pts (N,3) must give (B,N,3) even when B == N — the old
+    value-based broadcast test silently flipped to per-point application on
+    that coincidence."""
+    n = 7
+    pts = rng.randn(n, 3)
+    tfs = np.tile(np.eye(4)[None], (n, 1, 1))
+    tfs[:, :3, 3] = rng.randn(n, 3)
+    out = np.asarray(geo.transform_pts(jnp.asarray(pts), jnp.asarray(tfs)))
+    assert out.shape == (n, n, 3)
+    np.testing.assert_allclose(out, pts[None] + tfs[:, None, :3, 3], atol=1e-6)
+    # per-point application stays expressible via an explicit point axis
+    per = np.asarray(geo.transform_pts(jnp.asarray(pts[:, None]), jnp.asarray(tfs)))
+    assert per.shape == (n, 1, 3)
+    np.testing.assert_allclose(per[:, 0], pts + tfs[:, :3, 3], atol=1e-6)

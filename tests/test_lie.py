@@ -83,3 +83,29 @@ def test_geodesic_distance(rng):
     R2 = np.asarray(lie.so3_exp_map(jnp.asarray(w)))
     d = np.asarray(lie.rotation_geodesic_distance(jnp.asarray(np.eye(3)[None]), jnp.asarray(R2)))
     np.testing.assert_allclose(d, 0.7, atol=1e-5)
+
+
+def test_so3_log_map_near_pi():
+    """The naive off-diagonal log vanishes at 180 deg (e.g. diag(1,-1,-1));
+    the symmetric-part branch must recover the axis, and theta must come from
+    atan2 (trace-only arccos loses ~10% magnitude just outside pi)."""
+    import numpy as np
+
+    from sixdof_tpu.ops.lie import so3_exp_map, so3_log_map
+
+    # canonical axis-aligned flips
+    for i, d in enumerate([np.diag([1.0, -1, -1]), np.diag([-1.0, 1, -1]),
+                           np.diag([-1.0, -1, 1])]):
+        w = np.asarray(so3_log_map(jnp.asarray(d[None])))[0]
+        assert abs(np.linalg.norm(w) - np.pi) < 1e-3
+        assert abs(abs(w[i]) - np.pi) < 1e-3
+
+    rng = np.random.RandomState(3)
+    for trial in range(50):
+        a = rng.randn(3)
+        a /= np.linalg.norm(a)
+        th = np.pi - rng.uniform(0, 5e-3) if trial % 2 else np.pi
+        R = np.asarray(so3_exp_map(jnp.asarray((a * th)[None])))[0]
+        w = np.asarray(so3_log_map(jnp.asarray(R[None])))[0]
+        R2 = np.asarray(so3_exp_map(jnp.asarray(w[None])))[0]
+        assert np.abs(R2 - R).max() < 5e-3, (a, th)

@@ -212,8 +212,10 @@ def test_bake_texture_atlas():
     n0 = np.cross(v[f[0, 1]] - v[f[0, 0]], v[f[0, 2]] - v[f[0, 0]])
     n0 = n0 / np.linalg.norm(n0)
     ff = r.params.frame_features[0][None]
+    # the bake queries with the INWARD normal (training view dirs run
+    # camera->surface, against the outward normal)
     expect = np.asarray(jax.nn.sigmoid(of.field_color(
-        r.params, geo, jnp.asarray(n0[None], dtype=jnp.float32), ff, r.cfg.sh_degree))) * 255
+        r.params, geo, jnp.asarray(-n0[None], dtype=jnp.float32), ff, r.cfg.sh_degree))) * 255
     assert np.abs(texel - expect[0]).max() < 3.0
 
     # textured OBJ round-trips with uv + texture image
