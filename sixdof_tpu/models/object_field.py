@@ -447,6 +447,7 @@ class ObjectFieldRunner:
         poses[:, :3, 3] += self.translation
         poses[:, :3, 3] *= self.sc_factor
 
+        self.poses_normalized = poses
         self.rays = make_frame_rays(rgbs / 255.0, depths, masks, poses, K, self.sc_factor)
         logging.info(f"rays: {self.rays.shape}, sc_factor {self.sc_factor:.4f}")
 
@@ -686,6 +687,24 @@ class ObjectFieldRunner:
         """(nerf_helpers.py:215-221)"""
         mesh.vertices = mesh.vertices / self.sc_factor - np.asarray(self.translation).reshape(1, 3)
         return mesh
+
+    def get_optimized_poses(self):
+        """Per-frame camera-in-object poses with the learned corrections
+        applied, in real-world units (reference
+        get_optimized_poses_in_real_world, nerf_helpers.py:224-250 — OpenCV
+        convention throughout here, and frame 0 is pinned to identity so no
+        re-anchoring offset is needed)."""
+        from ..ops.lie import se3_exp_map
+
+        theta = np.tanh(np.asarray(self.params.pose_deltas, dtype=np.float64))
+        tw = np.concatenate(
+            [theta[:, :3] * self.cfg.max_trans,
+             theta[:, 3:6] * (self.cfg.max_rot * np.pi / 180.0)], axis=-1)
+        tw[0] = 0.0
+        delta = np.asarray(se3_exp_map(jnp.asarray(tw)))
+        opt = delta @ self.poses_normalized
+        opt[:, :3, 3] = opt[:, :3, 3] / self.sc_factor - np.asarray(self.translation)
+        return opt.astype(np.float32)
 
 
 def run_neural_object_field(cfg: ObjectFieldConfig, K, rgbs, depths, masks, cam_in_obs,

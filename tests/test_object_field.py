@@ -243,3 +243,23 @@ def test_chamfer_distance_metric():
     b = TriMesh(v + np.array([1.0, 0, 0]), f)
     cd = chamfer_distance(a, b, n_sample=4000)
     assert 0.8 <= cd <= 1.0
+
+
+def test_get_optimized_poses():
+    """Pose export (reference get_optimized_poses_in_real_world,
+    nerf_helpers.py:224-250): frame 0 is returned exactly as given (pinned),
+    and with zero learned deltas every frame round-trips."""
+    r = _tiny_runner()
+    out0 = r.get_optimized_poses()
+    # zero deltas: exact un-normalization round trip for all frames
+    expect = r.poses_normalized.copy()
+    expect[:, :3, 3] = expect[:, :3, 3] / r.sc_factor - np.asarray(r.translation)
+    np.testing.assert_allclose(out0, expect.astype(np.float32), atol=1e-5)
+
+    r.train(3, log_every=0)
+    out = r.get_optimized_poses()
+    # frame 0 pinned to identity correction even after training
+    np.testing.assert_allclose(out[0], out0[0], atol=1e-5)
+    # corrections are tanh-bounded: translations move < max_trans/sc_factor
+    shift = np.linalg.norm(out[:, :3, 3] - out0[:, :3, 3], axis=-1)
+    assert (shift <= r.cfg.max_trans / r.sc_factor + 1e-5).all()
