@@ -24,6 +24,7 @@ extern "C" {
 void cluster_poses(const float* poses, int64_t n, const float* sym, int64_t s,
                    float angle_diff_deg, float dist_diff, uint8_t* keep) {
   const float radian_thres = angle_diff_deg / 180.0f * (float)M_PI;
+  if (n <= 0) return;  // empty batch: keep[] has no slot 0 to write
   std::vector<int64_t> kept;
   kept.reserve(n);
   keep[0] = 1;

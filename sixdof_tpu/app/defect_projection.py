@@ -391,15 +391,22 @@ def visualize(list_of_objects, out_path=None, data_queue=None):
 
         update_dash_data(pcds, meshes[0] if meshes else None)
         return
+    def as01(c):
+        # normalize every source to [0,1] BEFORE merging: mixing 0-255 fills
+        # with [0,1] defect colors would defeat save_ply's max()<=1 rescale
+        # heuristic and write the defect colors as near-black uint8 0/1
+        c = np.asarray(c, dtype=np.float64)
+        return c / 255.0 if c.size and c.max() > 1.0 else c
+
     all_pts, all_cols = [], []
     for p in pcds:
         all_pts.append(np.asarray(p.points))
-        all_cols.append(np.asarray(p.colors) if p.colors is not None
-                        else np.full((len(p.points), 3), 200.0))
+        all_cols.append(as01(p.colors) if p.colors is not None
+                        else np.full((len(p.points), 3), 200.0 / 255.0))
     for m in meshes:
         all_pts.append(np.asarray(m.vertices))
-        all_cols.append(np.asarray(m.vertex_colors) if m.vertex_colors is not None
-                        else np.full((len(m.vertices), 3), 120.0))
+        all_cols.append(as01(m.vertex_colors) if m.vertex_colors is not None
+                        else np.full((len(m.vertices), 3), 120.0 / 255.0))
     if not all_pts:
         return
     out_path = out_path or "debug/visualize_snapshot.ply"

@@ -94,7 +94,8 @@ def main(args):
     if not args.no_server:
         dash_thread.start()
 
-    mesh = load_mesh(f"{args.test_scene_dir}/mesh/model_scaled_down.obj")
+    mesh = load_mesh(getattr(args, "mesh_file", None)
+                     or f"{args.test_scene_dir}/mesh/model_scaled_down.obj")
 
     debug = args.debug
     debug_dir = args.debug_dir
@@ -351,10 +352,23 @@ def build_parser():
     from ..config import PipelineConfig
 
     pc = PipelineConfig()
+
+    def str2bool(v):
+        # `type=bool` would make --flag False parse as True (any non-empty
+        # string is truthy); accept the usual spellings instead
+        if isinstance(v, bool) or v is None:
+            return v
+        if v.lower() in ("1", "true", "yes", "y", "on"):
+            return True
+        if v.lower() in ("0", "false", "no", "n", "off"):
+            return False
+        raise argparse.ArgumentTypeError(f"expected a boolean, got {v!r}")
+
     parser = argparse.ArgumentParser()
     code_dir = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    parser.add_argument("--mesh_file", type=str,
-                        default=f"{code_dir}/{pc.test_scene_dir}/mesh/model_scaled_down.obj")
+    parser.add_argument("--mesh_file", type=str, default=None,
+                        help="CAD mesh override (default: "
+                             "{test_scene_dir}/mesh/model_scaled_down.obj)")
     parser.add_argument("--test_scene_dir", type=str, default=f"{code_dir}/{pc.test_scene_dir}")
     parser.add_argument("--est_refine_iter", type=int, default=pc.est_refine_iter)
     parser.add_argument("--track_refine_iter", type=int, default=pc.track_refine_iter)
@@ -363,11 +377,11 @@ def build_parser():
     parser.add_argument("--shorter_side", type=int, default=pc.shorter_side)
     parser.add_argument("--demo", action="store_true", default=pc.demo)
     parser.add_argument("--no-demo", dest="demo", action="store_false")
-    parser.add_argument("--icp", default=pc.icp, type=bool)
-    parser.add_argument("--info", default=True, type=bool)
-    parser.add_argument("--box", type=bool, default=None)
-    parser.add_argument("--mesh", type=bool, default=None)
-    parser.add_argument("--capture_background", type=bool, default=pc.capture_background)
+    parser.add_argument("--icp", default=pc.icp, type=str2bool)
+    parser.add_argument("--info", default=True, type=str2bool)
+    parser.add_argument("--box", type=str2bool, default=None)
+    parser.add_argument("--mesh", type=str2bool, default=None)
+    parser.add_argument("--capture_background", type=str2bool, default=pc.capture_background)
     parser.add_argument("--voxel_size", type=float, default=None)
     parser.add_argument("--refiner_ckpt", type=str, default=pc.refiner_ckpt)
     parser.add_argument("--scorer_ckpt", type=str, default=pc.scorer_ckpt)

@@ -99,7 +99,9 @@ class _ReaderCommon:
                 refined = cv2.morphologyEx(refined, cv2.MORPH_OPEN, kernel, iterations=2)
                 refined = cv2.morphologyEx(refined, cv2.MORPH_CLOSE, kernel, iterations=2)
                 os.makedirs(f"{self.base_dir}/masks", exist_ok=True)
-                cv2.imwrite(f"{self.base_dir}/masks/0000.png", refined.astype(np.uint8) * 255)
+                # `refined` is already 0/255; a *255 would overflow uint8 to
+                # {0,1} and write a black mask
+                cv2.imwrite(f"{self.base_dir}/masks/0000.png", refined.astype(np.uint8))
                 return (
                     cv2.resize(refined, (self.color_W, self.color_H),
                                interpolation=cv2.INTER_NEAREST).astype(bool).astype(np.uint8)
@@ -190,7 +192,7 @@ class DataReader(_ReaderCommon):
         self.id_strs = [os.path.basename(f).replace(".png", "") for f in self.color_files]
         self.color_H, self.color_W = cv2.imread(self.color_files[0]).shape[:2]
         self.depth_H, self.depth_W = cv2.imread(
-            self.color_files[0].replace("rgb", "depth"), -1
+            self._depth_path(self.color_files[0]), -1
         ).shape[:2]
 
         if shorter_side is None:
@@ -247,10 +249,23 @@ class DataReader(_ReaderCommon):
         color = cv2.imread(self.color_files[i], cv2.IMREAD_COLOR)[..., ::-1]  # BGR->RGB
         return cv2.resize(color, (self.color_W, self.color_H), interpolation=cv2.INTER_NEAREST)
 
+    @staticmethod
+    def _depth_path(color_path):
+        """Depth twin of a color path: swap ONLY the rgb directory and the
+        rgb_ filename prefix — a whole-string replace corrupts scene roots
+        that merely contain 'rgb' (e.g. /data/rgbd_scans/...)."""
+        d, b = os.path.split(color_path)
+        parent, leaf = os.path.split(d)
+        if leaf == "rgb":
+            d = os.path.join(parent, "depth")
+        if b.startswith("rgb"):
+            b = "depth" + b[3:]
+        return os.path.join(d, b)
+
     def _load_depth(self, i):
         import cv2
 
-        depth = cv2.imread(self.color_files[i].replace("rgb", "depth"), -1) / 1e3
+        depth = cv2.imread(self._depth_path(self.color_files[i]), -1) / 1e3
         depth = cv2.resize(depth, (self.color_W, self.color_H), interpolation=cv2.INTER_NEAREST)
         depth[(depth < 0.001) | (depth >= self.zfar)] = 0
         return depth
@@ -502,8 +517,12 @@ class KinectReader(_ReaderCommon):
 
         from .mesh_io import PointCloud, save_point_cloud
 
-        cv2.imwrite(os.path.join(save_dir, f"rgb_{frame_id:03d}.png"),
-                    cv2.cvtColor(color_image, cv2.COLOR_BGR2RGB))
+        # the Kinect frame is BGRA and cv2.imwrite expects BGR on disk — a
+        # BGR2RGB here would persist channel-swapped PNGs that every replay
+        # reader (imread + [..., ::-1]) then decodes wrong
+        if color_image.ndim == 3 and color_image.shape[2] == 4:
+            color_image = cv2.cvtColor(color_image, cv2.COLOR_BGRA2BGR)
+        cv2.imwrite(os.path.join(save_dir, f"rgb_{frame_id:03d}.png"), color_image)
         cv2.imwrite(os.path.join(save_dir, f"depth_{frame_id:03d}.png"), depth_image)
         save_point_cloud(os.path.join(save_dir, f"cloud_{frame_id:03d}.ply"),
                          PointCloud(point_cloud))

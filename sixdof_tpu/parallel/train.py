@@ -224,8 +224,9 @@ def make_refiner_batch(key, mesh: MeshArrays, K, mesh_diameter, cfg: TrainConfig
     rendB = render_batch(mesh, gt, K, tf_to_crops, out_hw=cfg.input_hw, use_light=True)
     center = pert[:, :3, 3][:, None, None, :]
 
-    rgb_bg, xyz_bg = _crop_background(k3, tf_to_crops, K, float(0.0) + gt[:, 2, 3].mean(),
-                                      cfg.input_hw)
+    # per-sample object z (a batch-mean plane can land IN FRONT of far
+    # samples, i.e. physically impossible "backgrounds")
+    rgb_bg, xyz_bg = _crop_background(k3, tf_to_crops, K, gt[:, 2, 3], cfg.input_hw)
     aB = rendB["alpha"][..., None]
     noise = jax.random.normal(k4, rendB["xyz_map"].shape[:-1] + (1,)) * 0.0015
     xyzB = rendB["xyz_map"] + noise * jnp.asarray([0.0, 0.0, 1.0])
@@ -234,7 +235,7 @@ def make_refiner_batch(key, mesh: MeshArrays, K, mesh_diameter, cfg: TrainConfig
     xyzB = _erode_edges(aB, xyzB, jnp.zeros_like(xyzB))
     if cfg.p_occlusion > 0:
         kocc = jax.random.fold_in(k4, 1)
-        rgbB, xyzB = _apply_occluder(kocc, tf_to_crops, K, gt[:, 2, 3].mean(),
+        rgbB, xyzB = _apply_occluder(kocc, tf_to_crops, K, gt[:, 2, 3],
                                      cfg.input_hw, rgbB, xyzB, cfg.p_occlusion)
 
     A = jnp.concatenate([rendA["color"], rendA["xyz_map"] - center], axis=-1)
@@ -270,7 +271,7 @@ def make_scorer_batch(key, mesh: MeshArrays, K, mesh_diameter, cfg: TrainConfig,
 
     L = cfg.n_hypotheses
     N = n_scenes * L
-    k1, k2, k3, k4 = jax.random.split(key, 4)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     gt = _random_poses(k1, n_scenes, cfg.z_range)  # (ns,4,4)
     gt = jnp.repeat(gt, L, axis=0)  # (ns*L,4,4)
     # graded perturbations: hypothesis 0 of each scene near-perfect; the top
@@ -302,8 +303,10 @@ def make_scorer_batch(key, mesh: MeshArrays, K, mesh_diameter, cfg: TrainConfig,
     rendA = render_batch(mesh, hyp, K, tf_to_crops, out_hw=cfg.input_hw, use_light=True)
     rendB = render_batch(mesh, gt, K, tf_to_crops, out_hw=cfg.input_hw, use_light=True)
     center = hyp[:, :3, 3][:, None, None, :]
-    kbg, knz = jax.random.split(k3)
-    rgb_bg, xyz_bg = _crop_background(kbg, tf_to_crops, K, gt[:, 2, 3].mean(), cfg.input_hw)
+    # k3 is already consumed by dw above — reusing it for the background
+    # stream would correlate rotation noise with background texture
+    kbg, knz = jax.random.split(k5)
+    rgb_bg, xyz_bg = _crop_background(kbg, tf_to_crops, K, gt[:, 2, 3], cfg.input_hw)
     aB = rendB["alpha"][..., None]
     noise = jax.random.normal(knz, rendB["xyz_map"].shape[:-1] + (1,)) * 0.0015
     xyzB = rendB["xyz_map"] + noise * jnp.asarray([0.0, 0.0, 1.0])
@@ -312,7 +315,7 @@ def make_scorer_batch(key, mesh: MeshArrays, K, mesh_diameter, cfg: TrainConfig,
     xyzB = _erode_edges(aB, xyzB, jnp.zeros_like(xyzB))
     if cfg.p_occlusion > 0:
         kocc = jax.random.fold_in(knz, 1)
-        rgbB, xyzB = _apply_occluder(kocc, tf_to_crops, K, gt[:, 2, 3].mean(),
+        rgbB, xyzB = _apply_occluder(kocc, tf_to_crops, K, gt[:, 2, 3],
                                      cfg.input_hw, rgbB, xyzB, cfg.p_occlusion)
     A = jnp.concatenate([rendA["color"], rendA["xyz_map"] - center], axis=-1)
     B = jnp.concatenate([rgbB, xyzB - center], axis=-1)
@@ -494,6 +497,11 @@ class ScorerTrainer:
         self.K = jnp.asarray(K, dtype=jnp.float32)
         self.mesh_diameter = float(mesh_diameter)
         self.device_mesh = device_mesh
+
+        if device_mesh is not None:  # same placement as RefinerTrainer
+            p_shard = param_shardings(self.params, device_mesh)
+            self.params = jax.tree.map(jax.device_put, self.params, p_shard)
+            self.opt_state = jax.device_put(self.opt_state, replicated(device_mesh))
 
     def _step(self, params, opt_state, key):
         return _scorer_step(
