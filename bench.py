@@ -156,6 +156,11 @@ def main():
     # ---- warm tracking + capture path (all shapes the loop will see, so the
     # measured loop is compile-free steady state) ----
     est.track_one(rgb=color, depth=depth, K=reader.color_K, iteration=2)
+    # the loop's frame-index wraps can trip _crop_window's motion guard into
+    # the FULL-FRAME fallback shape — warm it too (tools/precompile.py does)
+    est.track_crop = False
+    est.track_one(rgb=color, depth=depth, K=reader.color_K, iteration=2)
+    est.track_crop = True
     pix = heatmap_to_points(heatmap, 0.75)
     rays, intensities = compute_rays(pix, reader.color_pinhole)
     ray_mask = np.ones(len(rays), dtype=bool)
@@ -278,42 +283,67 @@ def main():
         from sixdof_tpu.ops.geometry import compute_crop_window_tf_batch, depth2xyzmap
         from sixdof_tpu.ops.rasterize import render_batch
 
+        def _sync(out):
+            # block_until_ready does NOT reliably sync on the axon backend;
+            # force completion with a scalar device->host transfer (a full
+            # np.asarray of a big output would bill transfer time instead)
+            leaf = jax.tree.leaves(out)[0]
+            return float(jnp.sum(leaf.astype(jnp.float32)))
+
         def _warm_time(fn, *a, n=3):
-            jax.block_until_ready(fn(*a))
+            _sync(fn(*a))
             t0 = time.perf_counter()
             for _ in range(n):
-                jax.block_until_ready(fn(*a))
+                _sync(fn(*a))
             return (time.perf_counter() - t0) / n
 
         K = jnp.asarray(reader.color_K, dtype=jnp.float32)
         d_f = bilateral_filter_depth(erode_depth(jnp.asarray(depth, jnp.float32), radius=2), radius=2)
-        hypo = est.generate_random_pose_hypo(K=reader.color_K, rgb=color,
-                                             depth=np.asarray(d_f), mask=mask)
-        hypo = jnp.asarray(hypo, dtype=jnp.float32)[:64]
+        hypo_full = jnp.asarray(
+            est.generate_random_pose_hypo(K=reader.color_K, rgb=color,
+                                          depth=np.asarray(d_f), mask=mask),
+            dtype=jnp.float32)
+        hypo = hypo_full[:64]
         rgb01 = jnp.asarray(color, jnp.float32) / 255.0
         xyz_map = depth2xyzmap(d_f, K)
         diam = float(est.diameter)
         marr = est.mesh_tensors
+        bc = bool(est.backface_cull)
+        chw = est.coarse_hw or (160, 160)
         tf_crops = compute_crop_window_tf_batch(hypo, K, crop_ratio=1.2,
                                                 out_size=(160, 160), mesh_diameter=diam)
+
+        def _refine(p, hw):
+            return refine_poses_jit(refiner.model, refiner.params, marr, p, rgb01,
+                                    xyz_map, K, diam, 1.2, 0.02, 0.3490658503988659,
+                                    iterations=1, out_hw=hw, backface_cull=bc)
+
+        def _score(p, hw):
+            return score_poses_jit(scorer.model, scorer.params, marr, p, rgb01,
+                                   xyz_map, K, diam, 1.2, out_hw=hw,
+                                   mode=scorer.cfg.get("score_mode", "hybrid"),
+                                   backface_cull=bc)
+
         breakdown = {
             "render_n64_ms": round(_warm_time(
-                lambda p, t: render_batch(marr, p, K, t, out_hw=(160, 160), use_light=True),
+                lambda p, t: render_batch(marr, p, K, t, out_hw=(160, 160),
+                                          use_light=True, backface_cull=bc),
                 hypo, tf_crops) * 1e3, 1),
-            "refine_1iter_n64_ms": round(_warm_time(
-                lambda p: refine_poses_jit(refiner.model, refiner.params, marr, p, rgb01,
-                                           xyz_map, K, diam, 1.2, 0.02, 0.3490658503988659,
-                                           iterations=1), hypo) * 1e3, 1),
-            "score_n64_ms": round(_warm_time(
-                lambda p: score_poses_jit(scorer.model, scorer.params, marr, p, rgb01,
-                                          xyz_map, K, diam, 1.2,
-                                          mode=scorer.cfg.get("score_mode", "hybrid")),
-                hypo) * 1e3, 1),
+            "refine_1iter_n64_ms": round(_warm_time(_refine, hypo, (160, 160)) * 1e3, 1),
+            "score_n64_ms": round(_warm_time(_score, hypo, (160, 160)) * 1e3, 1),
+            "refine_1iter_full_coarse_ms": round(_warm_time(_refine, hypo_full, chw) * 1e3, 1),
+            "score_full_coarse_ms": round(_warm_time(_score, hypo_full, chw) * 1e3, 1),
         }
-        # host share: fused register wall minus the device-side cascade pieces
-        breakdown["host_etc_ms"] = round(
-            timings["register_s"] * 1e3
-            - 5 * breakdown["refine_1iter_n64_ms"] - breakdown["score_n64_ms"], 1)
+        # host share: fused register wall minus the device-side pieces of the
+        # ACTUAL default cascade (2 coarse iters + score over the full grid,
+        # then 3 fine iters + score over the 64 survivors)
+        if est.prune_to == 64 and est.prune_schedule is None:
+            breakdown["host_etc_ms"] = round(
+                timings["register_s"] * 1e3
+                - 2 * breakdown["refine_1iter_full_coarse_ms"]
+                - breakdown["score_full_coarse_ms"]
+                - 3 * breakdown["refine_1iter_n64_ms"]
+                - breakdown["score_n64_ms"], 1)
 
     out = {
         # HEADLINE: the all-in steady state — tracking with an ICP + defect

@@ -230,12 +230,10 @@ class FoundationPose:
             # is ONE jitted dispatch (models/predict.py::register_pipeline_jit)
             # — one host round trip instead of ~6 (tunnel latency dominates
             # multi-stage host orchestration on remote TPU)
-            from .models.predict import register_pipeline_jit
+            from .models.predict import register_pipeline_jit, to_rgb01
 
             ref, sc = self.refiner, self.scorer
-            rgb01 = jnp.asarray(np.asarray(rgb), dtype=jnp.float32)
-            if float(np.asarray(rgb).max(initial=0.0)) > 1.5:
-                rgb01 = rgb01 / 255.0
+            rgb01 = to_rgb01(rgb)
             poses_sorted, scores_sorted = register_pipeline_jit(
                 ref.model, ref.params, sc.model, sc.params, self.mesh_tensors,
                 jnp.asarray(poses, dtype=jnp.float32), rgb01, depth,
@@ -250,6 +248,13 @@ class FoundationPose:
                 trans_rep=ref.cfg["trans_rep"], rot_rep=ref.cfg["rot_rep"],
                 score_mode=sc.cfg.get("score_mode", "hybrid"),
                 backface_cull=self.backface_cull,
+                # the scorer's own conventions (the staged path honors sc.cfg
+                # via scorer.predict; the fused path must match)
+                score_crop_ratio=float(sc.cfg["crop_ratio"]),
+                score_normalize_xyz=bool(sc.cfg["normalize_xyz"]),
+                score_hw=(tuple(sc.cfg["input_resize"])
+                          if tuple(sc.cfg["input_resize"]) != tuple(ref.cfg["input_resize"])
+                          else None),
             )
             poses_np = np.asarray(poses_sorted)
             scores_np = np.asarray(scores_sorted)
@@ -403,7 +408,7 @@ class FoundationPose:
             # (nearly) free and never stalls the dispatch pipeline
             self._crop_pose_host = np.asarray(old, dtype=np.float64).reshape(4, 4)
 
-    def track_one(self, rgb, depth, K, iteration, extra={}, sync=True):
+    def track_one(self, rgb, depth, K, iteration, extra=None, sync=True):
         """Single-hypothesis refinement from the previous frame's pose
         (reference estimater.py:248-266).
 
@@ -465,7 +470,8 @@ class FoundationPose:
                 depth=_depth_filtered, K=K, ob_in_cams=np.asarray(pose).reshape(1, 4, 4),
                 xyz_map=xyz_map, mesh_diameter=self.diameter, iteration=1, get_vis=True,
             )
-            extra["vis"] = vis
+            if extra is not None:
+                extra["vis"] = vis
         self.pose_last = pose  # device array: the chain never leaves the chip
         if not sync:
             try:  # start the D2H copy now; .numpy() later won't stall

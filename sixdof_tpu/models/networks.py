@@ -191,7 +191,12 @@ class RefineNet(nn.Module):
 
     def __call__(self, A, B):
         tokens = self.trunk(A, B)
-        tokens = tokens + jnp.asarray(self.pe[:, : tokens.shape[1]], dtype=tokens.dtype)
+        # token count is static under jit; crops >160x160 exceed the 400-row
+        # table (reference max_len, network_modules.py:116) so extend on the
+        # fly with the same formula instead of a silent broadcast error
+        pe = (self.pe if tokens.shape[1] <= self.pe.shape[1]
+              else sinusoidal_position_embedding(tokens.shape[1], 512))
+        tokens = tokens + jnp.asarray(pe[:, : tokens.shape[1]], dtype=tokens.dtype)
         trans = self.trans_linear(self.trans_encoder(tokens)).mean(axis=1)
         rot = self.rot_linear(self.rot_encoder(tokens)).mean(axis=1)
         return {"trans": trans.astype(jnp.float32), "rot": rot.astype(jnp.float32)}
@@ -213,7 +218,12 @@ class ScoreNetMultiPair(nn.Module):
 
     def extract_feat(self, A, B):
         tokens = self.trunk(A, B)
-        tokens = tokens + jnp.asarray(self.pe[:, : tokens.shape[1]], dtype=tokens.dtype)
+        # token count is static under jit; crops >160x160 exceed the 400-row
+        # table (reference max_len, network_modules.py:116) so extend on the
+        # fly with the same formula instead of a silent broadcast error
+        pe = (self.pe if tokens.shape[1] <= self.pe.shape[1]
+              else sinusoidal_position_embedding(tokens.shape[1], 512))
+        tokens = tokens + jnp.asarray(pe[:, : tokens.shape[1]], dtype=tokens.dtype)
         tokens = self.att(tokens)
         return tokens.mean(axis=1)  # (B*L, 512)
 

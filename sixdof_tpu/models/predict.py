@@ -36,7 +36,7 @@ from ..ops.geometry import (
 )
 from ..ops.lie import rotation_6d_to_matrix, so3_exp_map
 from ..ops.rasterize import MeshArrays, render_batch
-from ..ops.warp import warp_crop_batch, warp_perspective
+from ..ops.warp import warp_crop_batch
 from .networks import RefineNet, ScoreNetMultiPair
 
 DEFAULT_REFINER_CFG = dict(
@@ -69,6 +69,19 @@ DEFAULT_SCORER_CFG = dict(
 )
 
 
+def to_rgb01(rgb):
+    """uint8-or-float image -> float32 [0,1] device array.
+
+    Treats anything with max > 1.5 as 0-255 scale (uint8 images are always
+    caught; a float frame already in [0,1] is left alone).
+    """
+    arr = np.asarray(rgb)
+    rgb01 = jnp.asarray(arr, dtype=jnp.float32)
+    if float(arr.max(initial=0.0)) > 1.5:
+        rgb01 = rgb01 / 255.0
+    return rgb01
+
+
 def _make_AB(mesh, poses, rgb01, xyz_map, K, crop_ratio, mesh_diameter, out_hw,
              normalize_xyz, invalid_z_thresh, backface_cull=False):
     """Build the (A=render, B=real) 6-channel crop pair for a pose batch.
@@ -90,6 +103,13 @@ def _make_AB(mesh, poses, rgb01, xyz_map, K, crop_ratio, mesh_diameter, out_hw,
     xyzB = warp_crop_batch(xyz_map, tf_to_crops, out_hw, mode="nearest")
 
     center = poses[:, :3, 3][:, None, None, :]  # (B,1,1,3)
+    # meter-space, center-subtracted copies + observed-validity BEFORE any
+    # normalization: the analytic score consumes these so its thresholds stay
+    # in meters and depth holes stay detectable whatever the net convention
+    rend = dict(rend)
+    rend["obs_validB"] = xyzB[..., 2] > invalid_z_thresh
+    rend["xyzA_m"] = xyzA - center
+    rend["xyzB_m"] = xyzB - center
     if normalize_xyz:
         r = mesh_diameter / 2.0
         invalidA = xyzA[..., 2:3] < invalid_z_thresh
@@ -99,8 +119,8 @@ def _make_AB(mesh, poses, rgb01, xyz_map, K, crop_ratio, mesh_diameter, out_hw,
         xyzA = jnp.where(invalidA | (jnp.abs(xyzA) >= 2).any(-1, keepdims=True), 0.0, xyzA)
         xyzB = jnp.where(invalidB | (jnp.abs(xyzB) >= 2).any(-1, keepdims=True), 0.0, xyzB)
     else:
-        xyzA = xyzA - center
-        xyzB = xyzB - center
+        xyzA = rend["xyzA_m"]
+        xyzB = rend["xyzB_m"]
     A = jnp.concatenate([rgbA, xyzA], axis=-1)
     B = jnp.concatenate([rgbB, xyzB], axis=-1)
     return A, B, tf_to_crops, rend
@@ -199,13 +219,13 @@ def _depth_alignment_score(A, B, rend, poses, mesh_diameter):
     for near-symmetric shapes.
     """
     alpha = rend["alpha"]  # (B,H,W)
-    xyzA = A[..., 3:6]
-    xyzB = B[..., 3:6]
-    # observed-valid: the warped xyz z-channel is (z - center_z); invalid
-    # observed pixels carry xyz=0 -> z-channel == -center_z exactly
-    center_z = poses[:, 2, 3][:, None, None]
-    obs_valid = jnp.abs(xyzB[..., 2] + center_z) > 1e-6
-    both = (alpha > 0) & obs_valid
+    # meter-space quantities + explicit validity from _make_AB — independent
+    # of normalize_xyz (the net channels in A/B may be radius-normalized and
+    # zero invalid pixels AFTER centering, which breaks both the units of
+    # tau and any z-channel-based validity test)
+    xyzA = rend["xyzA_m"]
+    xyzB = rend["xyzB_m"]
+    both = (alpha > 0) & rend["obs_validB"]
     d = jnp.linalg.norm(xyzA - xyzB, axis=-1)
     dz = xyzB[..., 2] - xyzA[..., 2]  # observed minus rendered depth
     tau = 0.05 * mesh_diameter
@@ -257,7 +277,8 @@ def score_poses_jit(
     jax.jit,
     static_argnames=("rmodel", "smodel", "prune_to", "coarse_iters", "iterations",
                      "out_hw", "coarse_hw", "normalize_xyz", "trans_rep", "rot_rep",
-                     "score_mode", "backface_cull", "prune_schedule"),
+                     "score_mode", "backface_cull", "prune_schedule",
+                     "score_normalize_xyz", "score_hw"),
 )
 def register_pipeline_jit(
     rmodel, rparams, smodel, sparams, mesh: MeshArrays, poses, rgb01, depth, K,
@@ -265,6 +286,7 @@ def register_pipeline_jit(
     prune_to, coarse_iters, iterations, out_hw=(160, 160), coarse_hw=None,
     normalize_xyz=False, trans_rep="tracknet", rot_rep="axis_angle",
     score_mode="hybrid", backface_cull=False, prune_schedule=None,
+    score_crop_ratio=None, score_normalize_xyz=None, score_hw=None,
 ):
     """The ENTIRE registration cascade as one device program: coarse refine
     over the full grid -> score -> top-K prune -> full-resolution refine ->
@@ -293,10 +315,15 @@ def register_pipeline_jit(
             trans_rep, rot_rep, backface_cull,
         )
 
+    # the scorer may use its own crop/normalization convention (the reference
+    # checkpoints ship separate cfgs per net); None inherits the refiner's
+    s_crop = crop_ratio if score_crop_ratio is None else score_crop_ratio
+    s_norm = normalize_xyz if score_normalize_xyz is None else score_normalize_xyz
+
     def score(p, hw):
         return score_poses_jit(
-            smodel, sparams, mesh, p, rgb01, xyz_map, K, mesh_diameter, crop_ratio,
-            hw, normalize_xyz, score_mode, backface_cull,
+            smodel, sparams, mesh, p, rgb01, xyz_map, K, mesh_diameter, s_crop,
+            hw, s_norm, score_mode, backface_cull,
         )
 
     if prune_schedule is None and prune_to and prune_to < n and iterations > coarse_iters:
@@ -312,7 +339,9 @@ def register_pipeline_jit(
             poses = poses[keep]
             iterations = iterations - stage_iters
     poses = refine(poses, iterations, out_hw)
-    scores = score(poses, out_hw)
+    # coarse prune stages score at the coarse resolution by design; only the
+    # final ranking honors a scorer-specific input resolution
+    scores = score(poses, out_hw if score_hw is None else score_hw)
     order = jnp.argsort(-scores)
     return poses[order], scores[order]
 
@@ -415,9 +444,7 @@ class PoseRefinePredictor(_PredictorBase):
         position embeddings, so coarse phases can run at lower resolution
         (quadratically less raster work) — see estimater.py coarse_hw.
         """
-        rgb01 = jnp.asarray(np.asarray(rgb), dtype=jnp.float32)
-        if float(np.asarray(rgb).max(initial=0.0)) > 1.5:
-            rgb01 = rgb01 / 255.0
+        rgb01 = to_rgb01(rgb)
         poses = refine_poses_jit(
             self.model,
             self.params,
@@ -483,9 +510,7 @@ class ScorePredictor(_PredictorBase):
     def predict(self, rgb, depth, K, ob_in_cams, normal_map=None, get_vis=False, mesh=None,
                 mesh_tensors: MeshArrays = None, glctx=None, mesh_diameter=None,
                 out_hw=None, backface_cull=None):
-        rgb01 = jnp.asarray(np.asarray(rgb), dtype=jnp.float32)
-        if float(np.asarray(rgb).max(initial=0.0)) > 1.5:
-            rgb01 = rgb01 / 255.0
+        rgb01 = to_rgb01(rgb)
         from ..ops.geometry import depth2xyzmap
 
         xyz_map = depth2xyzmap(jnp.asarray(depth, dtype=jnp.float32),
@@ -513,7 +538,8 @@ class ScorePredictor(_PredictorBase):
         n = len(ob_in_cams)
         if max_batch is None or n <= max_batch:
             return score_fn(ob_in_cams), None
-        return self._tournament(score_fn, np.asarray(ob_in_cams), int(max_batch)), None
+        # chunks of 1 elect themselves winner forever — never terminates
+        return self._tournament(score_fn, np.asarray(ob_in_cams), max(2, int(max_batch))), None
 
     @staticmethod
     def _tournament(score_fn, poses_np, max_batch):
