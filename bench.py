@@ -65,6 +65,13 @@ def ensure_scene():
                                           "tools", "make_demo_scene.py"), SCENE, "6"],
             check=True,
         )
+    if not os.path.exists(os.path.join(SCENE + "_sensor", "rgb", "rgb_0000.png")):
+        subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                          "tools", "make_demo_scene.py"),
+             SCENE + "_sensor", "6", "box", "--sensor"],
+            check=True,
+        )
 
 
 def main():
@@ -130,6 +137,25 @@ def main():
     model_pts = np.asarray(est.pts) + est.model_center
     add_s = adds_err(pose, gt, model_pts) if gt is not None else -1.0
     add_v = add_err(pose, gt, model_pts) if gt is not None else -1.0
+
+    # accuracy on the sensor-degraded variant of the same scene (VERDICT r2
+    # item 1: the quoted ADD-S must not come from the pipeline's own clean
+    # renders).  Same object/shapes -> reuses every compiled program.
+    add_s_sensor = -1.0
+    sensor_scene = SCENE + "_sensor"
+    if os.path.exists(os.path.join(sensor_scene, "rgb", "rgb_0000.png")):
+        reader_s = DataReader(base_dir=sensor_scene, shorter_side=288, zfar=np.inf,
+                              arguments=Args())
+        color_s = reader_s.get_color(0)
+        mask_s = reader_s.get_mask(color_s, 0).astype(bool)
+        pose_s = est.register(K=reader_s.color_K, rgb=color_s,
+                              depth=reader_s.get_depth(0), ob_mask=mask_s, iteration=5)
+        gt_s = reader_s.get_gt_pose(0)
+        if gt_s is not None:
+            add_s_sensor = adds_err(pose_s, gt_s, model_pts)
+        # restore the clean-scene pose chain for the tracking loops below
+        pose = est.register(K=reader.color_K, rgb=color, depth=depth, ob_mask=mask,
+                            iteration=5)
 
     pose_mm = reader.scale_translation_to_millimeters(pose)
     init_tf = reader.color_to_depth @ pose_mm
@@ -204,11 +230,12 @@ def main():
             consume(pending.popleft())
         return N_TRACK / (time.perf_counter() - t_loop)
 
-    # best-of-N: each pass is seconds long; a single tunnel hiccup mid-pass
-    # halves the FPS, so the max over passes is the steady-state number
-    # (all passes are reported)
+    # median-of-N headline (VERDICT r2 item 7: max-of-N rewards variance).
+    # Each pass is seconds long and a single tunnel hiccup mid-pass halves the
+    # FPS, so the best-of is still reported as a field, but the headline is
+    # the median; all passes are in the JSON.
     track_runs = [run_track_loop() for _ in range(3)]
-    timings["track_fps"] = max(track_runs)
+    timings["track_fps"] = float(np.median(track_runs))
 
     # capture event alone: preprocess + batched-restart ICP + defect ray trace
     t0 = time.perf_counter()
@@ -267,7 +294,7 @@ def main():
         return N_TRACK / (time.perf_counter() - t_loop)
 
     allin_runs = [run_allin_loop() for _ in range(3)]
-    fps_with_captures = max(allin_runs)
+    fps_with_captures = float(np.median(allin_runs))
 
     import jax
 
@@ -345,6 +372,32 @@ def main():
                 - 3 * breakdown["refine_1iter_n64_ms"]
                 - breakdown["score_n64_ms"], 1)
 
+    # ---- FLOP/MFU accounting (VERDICT r2 item 3): tools/flops_report.py
+    # lowers the exact fused register/track calls on the CPU backend and
+    # stores XLA cost analysis in FLOPS.json; here measured wall-clock turns
+    # those counts into achieved-fraction-of-peak numbers.  TPU v5e (v5 lite)
+    # peaks: 197 TFLOP/s bf16 on the MXU, ~819 GB/s HBM.
+    mfu = {}
+    flops_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "FLOPS.json")
+    if os.path.exists(flops_path):
+        with open(flops_path) as f:
+            fl = json.load(f)
+        PEAK_FLOPS, PEAK_HBM = 197e12, 819e9
+        if fl.get("n_hypotheses") == int(len(est.rot_grid)) and fl.get("prune_to") == 64:
+            mfu["register_tflop"] = round(fl["register_flops"] / 1e12, 3)
+            mfu["register_mfu_pct"] = round(
+                fl["register_flops"] / timings["register_s"] / PEAK_FLOPS * 100, 2)
+            track_dt = 1.0 / timings["track_fps"]  # all-in per-frame wall
+            mfu["track_gflop"] = round(fl["track_flops"] / 1e9, 2)
+            mfu["track_mfu_pct"] = round(fl["track_flops"] / track_dt / PEAK_FLOPS * 100, 2)
+            tb = fl.get("track_cost", {}).get("bytes accessed")
+            if tb:
+                mfu["track_hbm_pct"] = round(tb / track_dt / PEAK_HBM * 100, 1)
+            rb = fl.get("register_cost", {}).get("bytes accessed")
+            if rb:
+                mfu["register_hbm_pct"] = round(
+                    rb / timings["register_s"] / PEAK_HBM * 100, 1)
+
     out = {
         # HEADLINE: the all-in steady state — tracking with an ICP + defect
         # capture every CAPTURE_EVERY frames (the honest "pose + ICP + defect
@@ -356,8 +409,12 @@ def main():
         "vs_baseline": round(fps_with_captures / BASELINE_FPS, 3),
         "device": str(jax.devices()[0]),
         "track_only_fps": round(timings["track_fps"], 2),
+        "allin_fps_best": round(max(allin_runs), 2),
+        "track_fps_best": round(max(track_runs), 2),
         "allin_fps_runs": [round(v, 2) for v in allin_runs],
         "track_fps_runs": [round(v, 2) for v in track_runs],
+        # tunnel_flush_s is spent draining the remote link BEFORE any timed
+        # region; it is excluded from every metric by construction
         "tunnel_flush_s": round(timings["tunnel_flush_s"], 1),
         "capture_event_s": round(capture_s, 3),
         "register_s": round(timings["register_s"], 3),
@@ -371,7 +428,9 @@ def main():
         "coarse_hw": 96,
         "adds_m": round(float(add_s), 5),
         "add_m": round(float(add_v), 5),
+        "adds_m_sensor": round(float(add_s_sensor), 5),
         "trained_weights": os.path.exists(rckpt),
+        **mfu,
     }
     if breakdown is not None:
         out["register_breakdown"] = breakdown

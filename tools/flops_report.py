@@ -1,0 +1,132 @@
+"""FLOP accounting for the hot pipeline programs (VERDICT r2 item 3).
+
+Counts the XLA-estimated FLOPs of the two production dispatches — the fused
+register cascade and the fused track step — at the bench shapes, by lowering
+the exact call the estimator makes (args captured via a recording shim) and
+running HLO cost analysis.  No TPU needed: lowering is backend-independent
+tracing, so this runs on the CPU backend in seconds and writes FLOPS.json,
+which bench.py folds into MFU fields (measured seconds / counted FLOPs vs
+the chip's peak).
+
+Usage: python tools/flops_report.py [scene_dir]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from sixdof_tpu.utils import force_cpu  # noqa: E402
+
+force_cpu()  # tracing/cost analysis only — never occupy the TPU for this
+
+
+class _Captured(Exception):
+    pass
+
+
+def _capture_call(module, name):
+    """Swap module.<name> for a shim that records (args, kwargs) and raises."""
+    orig = getattr(module, name)
+    box = {}
+
+    def shim(*args, **kwargs):
+        box["args"], box["kwargs"] = args, kwargs
+        raise _Captured()
+
+    setattr(module, name, shim)
+    return orig, box
+
+
+def _flops_of(jit_fn, args, kwargs):
+    lowered = jit_fn.lower(*args, **kwargs)
+    cost = lowered.cost_analysis()
+    if isinstance(cost, list):  # older jax returns one entry per device
+        cost = cost[0]
+    if not cost or "flops" not in cost:
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+    return float(cost["flops"]), {
+        k: float(v) for k, v in cost.items()
+        if k in ("flops", "transcendentals", "bytes accessed")
+    }
+
+
+def main(scene_dir=None, shorter_side=288):
+    import logging
+
+    logging.disable(logging.INFO)
+    scene_dir = scene_dir or os.path.join(REPO, "demo_data", "synth_box")
+
+    from sixdof_tpu import estimater as est_mod
+    from sixdof_tpu.estimater import FoundationPose
+    from sixdof_tpu.io.mesh_io import load_mesh
+    from sixdof_tpu.io.readers import DataReader
+    from sixdof_tpu.models import predict
+    from sixdof_tpu.models.predict import PoseRefinePredictor, ScorePredictor
+
+    class Args:
+        debug = 0
+        box = None
+        mesh = None
+        voxel_size = None
+
+    reader = DataReader(base_dir=scene_dir, shorter_side=shorter_side, zfar=np.inf,
+                        arguments=Args())
+    mesh = load_mesh(f"{scene_dir}/mesh/model_scaled_down.obj")
+    rckpt, sckpt = os.path.join(REPO, "weights", "refiner"), os.path.join(REPO, "weights", "scorer")
+    est = FoundationPose(
+        model_pts=mesh.vertices, model_normals=mesh.vertex_normals, mesh=mesh,
+        refiner=PoseRefinePredictor(ckpt_dir=rckpt if os.path.exists(rckpt) else None),
+        scorer=ScorePredictor(ckpt_dir=sckpt if os.path.exists(sckpt) else None),
+        prune_to=64,  # bench.py's configuration
+    )
+
+    color = reader.get_color(0)
+    depth = reader.get_depth(0)
+    mask = reader.get_mask(color, 0).astype(bool)
+
+    out = {"scene": os.path.basename(scene_dir), "shorter_side": shorter_side,
+           "prune_to": 64, "n_hypotheses": int(len(est.rot_grid))}
+
+    # ---- register cascade: capture the exact fused call, lower, count ----
+    orig, box = _capture_call(predict, "register_pipeline_jit")
+    try:
+        est.register(K=reader.color_K, rgb=color, depth=depth, ob_mask=mask, iteration=5)
+    except _Captured:
+        pass
+    finally:
+        setattr(predict, "register_pipeline_jit", orig)
+    flops, detail = _flops_of(orig, box["args"], box["kwargs"])
+    out["register_flops"] = flops
+    out["register_cost"] = detail
+
+    # ---- track step: needs pose_last; seed it without running register ----
+    est.pose_last = np.eye(4, dtype=np.float32)
+    est.pose_last[2, 3] = 0.55
+    orig, box = _capture_call(predict, "track_pose_jit")
+    try:
+        est.track_one(rgb=color, depth=depth, K=reader.color_K, iteration=2)
+    except _Captured:
+        pass
+    finally:
+        setattr(predict, "track_pose_jit", orig)
+    flops, detail = _flops_of(orig, box["args"], box["kwargs"])
+    out["track_flops"] = flops
+    out["track_cost"] = detail
+
+    path = os.path.join(REPO, "FLOPS.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1))
+    return out
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else None)

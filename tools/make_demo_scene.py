@@ -123,10 +123,16 @@ def merge(a: TriMesh, b: TriMesh) -> TriMesh:
     )
 
 
-def main(out_dir="demo_data/synth_box", n_frames=6, H=480, W=640, seed=0, variant="box"):
+def main(out_dir="demo_data/synth_box", n_frames=6, H=480, W=640, seed=0, variant="box",
+         sensor=False, sensor_strength=1.0):
     """@variant: 'box' = the original single-object scene; 'clutter' = the
     harder second scene (different target object, textured plane, three
-    distractor fixtures, one of them partially occluding the target)."""
+    distractor fixtures, one of them partially occluding the target).
+    @sensor: apply the RGB-D sensor degradation model (tools/sensor_model.py)
+    so the eval B-sides are NOT the pipeline's own clean renders: photometric
+    shifts + blur + shot noise on RGB, edge dropout / flying pixels / holes /
+    range-dependent noise on depth, segmenter-noise on the frame-0 mask, and
+    a calibration error (rendered with true K', dataset reports nominal K)."""
     rng = np.random.RandomState(seed)
     os.makedirs(out_dir, exist_ok=True)
     for sub in ["rgb", "depth", "pcd", "masks", "mesh", "background", "heatmap", "configs",
@@ -134,6 +140,14 @@ def main(out_dir="demo_data/synth_box", n_frames=6, H=480, W=640, seed=0, varian
         os.makedirs(f"{out_dir}/{sub}", exist_ok=True)
 
     K = np.array([[600.0, 0, W / 2], [0, 600.0, H / 2], [0, 0, 1]])
+    # with the sensor model, the scene is rendered with the TRUE camera K_render
+    # while the dataset reports the nominal K — a real rig's calibration error
+    if sensor:
+        from sensor_model import perturb_K
+
+        K_render = perturb_K(K, rng, sensor_strength)
+    else:
+        K_render = K
 
     if variant == "clutter":
         obj = make_target_part(seed + 1)
@@ -216,6 +230,9 @@ def main(out_dir="demo_data/synth_box", n_frames=6, H=480, W=640, seed=0, varian
         bg_pts = np.concatenate(
             [(rng.rand(20000, 2) - 0.5) * 0.5, np.full((20000, 1), 0.62)], axis=-1
         )
+    if sensor:
+        # the background pre-capture is itself a noisy sensor frame
+        bg_pts = bg_pts + rng.randn(*np.shape(bg_pts)) * 0.0015
     save_point_cloud(f"{out_dir}/background/box.ply", PointCloud(bg_pts * 1000.0))
 
     # heatmap: gaussian blob, square array (contract: square, centered on color)
@@ -225,7 +242,7 @@ def main(out_dir="demo_data/synth_box", n_frames=6, H=480, W=640, seed=0, varian
     # center square crop of the color image scaled to hm_size
     scale = hm_size / min(H, W)
     cx_full, cy_full = W / 2, H / 2
-    uvw = K @ base_pose[:3, 3]
+    uvw = K_render @ base_pose[:3, 3]
     u, v = uvw[0] / uvw[2], uvw[1] / uvw[2]
     u_hm = (u - (cx_full - min(H, W) / 2)) * scale
     v_hm = (v - (cy_full - min(H, W) / 2)) * scale
@@ -246,9 +263,9 @@ def main(out_dir="demo_data/synth_box", n_frames=6, H=480, W=640, seed=0, varian
         poses.append(pose)
 
         rend_o = render_batch(arrays_scene_obj, jnp.asarray(pose[None], dtype=jnp.float32),
-                              jnp.asarray(K, dtype=jnp.float32), None, out_hw=(H, W))
+                              jnp.asarray(K_render, dtype=jnp.float32), None, out_hw=(H, W))
         rend_p = render_batch(arrays_plane, jnp.asarray(np.eye(4, dtype=np.float32)[None]),
-                              jnp.asarray(K, dtype=jnp.float32), None, out_hw=(H, W))
+                              jnp.asarray(K_render, dtype=jnp.float32), None, out_hw=(H, W))
         do = np.asarray(rend_o["depth"][0])
         dp = np.asarray(rend_p["depth"][0])
         co = np.asarray(rend_o["color"][0])
@@ -256,15 +273,23 @@ def main(out_dir="demo_data/synth_box", n_frames=6, H=480, W=640, seed=0, varian
         obj_front = (do > 0) & ((dp <= 0) | (do < dp))
         depth = np.where(obj_front, do, dp)
         color = np.where(obj_front[..., None], co, cp)
-        # sensor-ish noise
-        noise = rng.randn(H, W) * 0.0015
-        depth = np.where(depth > 0, depth + noise, 0.0)
-        color = np.clip(color + rng.randn(H, W, 3) * 0.01, 0, 1)
+        if sensor:
+            from sensor_model import degrade_depth, degrade_mask, degrade_rgb
+
+            depth = degrade_depth(depth, rng, sensor_strength)
+            color = degrade_rgb(color, rng, sensor_strength)
+        else:
+            # light legacy noise (kept so the clean fixtures stay bit-stable)
+            noise = rng.randn(H, W) * 0.0015
+            depth = np.where(depth > 0, depth + noise, 0.0)
+            color = np.clip(color + rng.randn(H, W, 3) * 0.01, 0, 1)
 
         cv2.imwrite(f"{out_dir}/rgb/rgb_{i:04d}.png", (color[..., ::-1] * 255).astype(np.uint8))
         cv2.imwrite(f"{out_dir}/depth/depth_{i:04d}.png", (depth * 1000).astype(np.uint16))
         if i == 0:
             mask = (obj_front * 255).astype(np.uint8)
+            if sensor:
+                mask = degrade_mask(mask, rng, sensor_strength)
             cv2.imwrite(f"{out_dir}/masks/0000.png", mask)
         np.savetxt(f"{out_dir}/annotated_poses/{i:04d}.txt", pose.reshape(4, 4))
 
@@ -286,4 +311,8 @@ if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "demo_data/synth_box"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 6
     variant = sys.argv[3] if len(sys.argv) > 3 else ("clutter" if "clutter" in out else "box")
-    main(out, n, variant=variant)
+    sensor = "--sensor" in sys.argv or "sensor" in os.path.basename(out)
+    if variant.endswith("_sensor"):
+        variant = variant[: -len("_sensor")]
+        sensor = True
+    main(out, n, variant=variant, sensor=sensor)

@@ -1,0 +1,129 @@
+"""RGB-D sensor degradation model for non-circular evaluation scenes.
+
+The r2 verdict's top item: every accuracy number was measured on scenes whose
+"real" B-side was produced by the pipeline's own rasterizer, so the
+render-vs-real gap the reference's depth filters exist for
+(reference estimater.py:171-172, Utils.py:304-395 erode/bilateral) was never
+exercised.  This module degrades clean renders with a structured-light/ToF
+style sensor model so the eval B-sides no longer match the renderer's output:
+
+RGB   — exposure gain, gamma shift, per-channel white-balance error, defocus
+        blur, shot (signal-dependent) + read noise, uint8 quantization.
+Depth — axial noise growing quadratically with range (Kinect-style),
+        edge dropout and flying pixels at depth discontinuities (the classic
+        foreground/background mixture pixels), random blob holes
+        (specular/absorptive patches), mm quantization.
+K     — small focal/principal-point error: the scene is RENDERED with the
+        true K' while the dataset reports the nominal K, i.e. the calibration
+        error every real rig has.
+
+All functions are numpy-only host-side fixture builders (they run once at
+scene-generation time, not in the pipeline).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def degrade_rgb(color01: np.ndarray, rng: np.random.RandomState,
+                strength: float = 1.0) -> np.ndarray:
+    """Photometric degradation of a float [0,1] HxWx3 image."""
+    import cv2
+
+    img = color01.astype(np.float32)
+    gain = float(2.0 ** (rng.uniform(-0.35, 0.35) * strength))
+    gamma = float(1.0 + rng.uniform(-0.15, 0.20) * strength)
+    wb = (1.0 + rng.uniform(-0.08, 0.08, size=3) * strength).astype(np.float32)
+    img = np.clip(img * gain * wb[None, None], 0.0, 1.0) ** gamma
+    sigma_blur = 0.6 * strength
+    if sigma_blur > 1e-3:
+        img = cv2.GaussianBlur(img, (0, 0), sigma_blur)
+    # shot noise scales with sqrt(signal); read noise is additive
+    shot = rng.randn(*img.shape).astype(np.float32) * (0.015 * strength) * np.sqrt(
+        np.clip(img, 0.01, 1.0))
+    read = rng.randn(*img.shape).astype(np.float32) * (0.008 * strength)
+    img = np.clip(img + shot + read, 0.0, 1.0)
+    # uint8 round trip (the on-disk format)
+    return np.round(img * 255.0).astype(np.float32) / 255.0
+
+
+def degrade_depth(depth_m: np.ndarray, rng: np.random.RandomState,
+                  strength: float = 1.0) -> np.ndarray:
+    """Depth-sensor degradation of a float meters HxW map (0 = invalid)."""
+    import cv2
+
+    d = depth_m.astype(np.float32).copy()
+    H, W = d.shape
+    valid = d > 0
+
+    # axial noise: sigma(z) = 1.2mm + 1.9mm * (z - 0.4)^2  (Khoshelham-style)
+    sigma = (0.0012 + 0.0019 * (d - 0.4) ** 2) * strength
+    d = np.where(valid, d + rng.randn(H, W).astype(np.float32) * sigma, 0.0)
+
+    # depth discontinuities: both dropout and flying (mixture) pixels
+    big = np.where(valid, d, 1e3)  # invalid = "far": invalid/valid borders count as edges
+    gx = np.abs(np.diff(big, axis=1, append=big[:, -1:]))
+    gy = np.abs(np.diff(big, axis=0, append=big[-1:, :]))
+    edge = np.maximum(gx, gy) > 0.012
+    edge = cv2.dilate(edge.astype(np.uint8), np.ones((3, 3), np.uint8)) > 0
+    u = rng.rand(H, W)
+    drop = edge & valid & (u < 0.40 * strength)
+    fly = edge & valid & (u > 1.0 - 0.12 * strength)
+    if fly.any():
+        kern = np.ones((5, 5), np.uint8)
+        dmin = cv2.erode(np.where(valid, d, 1e3).astype(np.float32), kern)
+        dmax = cv2.dilate(np.where(valid, d, 0.0).astype(np.float32), kern)
+        alpha = rng.rand(H, W).astype(np.float32)
+        dfly = dmin * alpha + dmax * (1.0 - alpha)
+        ok = (dfly > 0) & (dfly < 1e3)
+        d = np.where(fly & ok, dfly, d)
+    d = np.where(drop, 0.0, d)
+
+    # blob holes: specular / IR-absorptive patches
+    n_holes = int(rng.poisson(3.0 * strength))
+    hole = np.zeros((H, W), np.uint8)
+    for _ in range(n_holes):
+        cy, cx = int(rng.randint(0, H)), int(rng.randint(0, W))
+        r = int(rng.randint(3, 14))
+        cv2.circle(hole, (cx, cy), r, 1, -1)
+    d = np.where(hole > 0, 0.0, d)
+
+    # mm quantization (the on-disk uint16 format)
+    return np.round(np.clip(d, 0.0, 65.535) * 1000.0).astype(np.float32) / 1000.0
+
+
+def perturb_K(K: np.ndarray, rng: np.random.RandomState,
+              strength: float = 1.0) -> np.ndarray:
+    """True intrinsics K' for rendering, vs the nominal K the dataset reports.
+
+    ~0.4% focal error and ~2 px principal-point error — typical factory
+    calibration residuals.
+    """
+    Kp = np.asarray(K, np.float64).copy()
+    Kp[0, 0] *= 1.0 + rng.uniform(-0.004, 0.004) * strength
+    Kp[1, 1] *= 1.0 + rng.uniform(-0.004, 0.004) * strength
+    Kp[0, 2] += rng.uniform(-2.0, 2.0) * strength
+    Kp[1, 2] += rng.uniform(-2.0, 2.0) * strength
+    return Kp
+
+
+def degrade_mask(mask: np.ndarray, rng: np.random.RandomState,
+                 strength: float = 1.0) -> np.ndarray:
+    """Segmenter-style mask error: one erode-or-dilate step plus edge noise.
+
+    The reference's frame-0 mask comes from an external segmenter, not from
+    GT rendering — real masks over/under-segment by a few pixels.
+    """
+    import cv2
+
+    m = (mask > 0).astype(np.uint8)
+    it = 1 + int(rng.rand() < 0.3 * strength)
+    if rng.rand() < 0.5:
+        m = cv2.dilate(m, np.ones((3, 3), np.uint8), iterations=it)
+    else:
+        m = cv2.erode(m, np.ones((3, 3), np.uint8), iterations=it)
+    # salt noise along the boundary
+    edge = cv2.dilate(m, np.ones((5, 5), np.uint8)) - cv2.erode(m, np.ones((5, 5), np.uint8))
+    flip = (rng.rand(*m.shape) < 0.15 * strength) & (edge > 0)
+    m = np.where(flip, 1 - m, m)
+    return (m * 255).astype(np.uint8)
