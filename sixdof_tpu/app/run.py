@@ -136,6 +136,16 @@ def main(args):
                               capture_background=args.capture_background,
                               shorter_side=args.shorter_side, zfar=np.inf, arguments=args)
 
+    # cold-start: compile the fused register + track programs in the
+    # background while the camera/heatmap/web setup below proceeds — the
+    # first register() joins the thread instead of paying the full compile
+    # (or warm-cache load) on the critical path (reference run.py:32-41 is
+    # interactive from process start)
+    if getattr(args, "precompile", 1):
+        est.precompile_async(reader.color_K, (reader.color_H, reader.color_W),
+                             iteration=args.est_refine_iter,
+                             track_iteration=args.track_refine_iter)
+
     has_display = bool(os.environ.get("DISPLAY"))
 
     i = 0
@@ -395,6 +405,9 @@ def build_parser():
                              "grid for all iterations, the reference behavior)")
     parser.add_argument("--max_hypotheses", type=int, default=None,
                         help="cap the rotation grid (speed/quality tradeoff)")
+    parser.add_argument("--precompile", type=int, default=1,
+                        help="compile the register/track programs in a "
+                             "background thread at startup (1 = on)")
     parser.add_argument("--track_crop", type=int, default=1,
                         help="crop the uploaded frame around the tracked pose "
                              "(1 = on; identical poses, less link traffic)")

@@ -169,6 +169,132 @@ class FoundationPose:
 
     # ----------------------------------------------------------- helpers --
 
+    def _register_scalar_args(self):
+        """Positional scalars of the fused register call (traced as baked
+        constants; identical values => identical program)."""
+        ref = self.refiner
+        return (float(self.diameter), float(ref.cfg["crop_ratio"]),
+                float(ref.cfg["trans_normalizer"]), float(ref.cfg["rot_normalizer"]))
+
+    def _register_pipeline_kwargs(self, iteration):
+        """Static/keyword args of the fused register call — shared by
+        register() and precompile_async so the precompiled program is
+        byte-identical to the one register() requests."""
+        ref, sc = self.refiner, self.scorer
+        return dict(
+            prune_to=int(self.prune_to) if self.prune_to else 0,
+            prune_schedule=self.prune_schedule,
+            coarse_iters=2, iterations=int(iteration),
+            out_hw=tuple(ref.cfg["input_resize"]), coarse_hw=self.coarse_hw,
+            normalize_xyz=bool(ref.cfg["normalize_xyz"]),
+            trans_rep=ref.cfg["trans_rep"], rot_rep=ref.cfg["rot_rep"],
+            score_mode=sc.cfg.get("score_mode", "hybrid"),
+            backface_cull=self.backface_cull,
+            # the scorer's own conventions (the staged path honors sc.cfg
+            # via scorer.predict; the fused path must match)
+            score_crop_ratio=float(sc.cfg["crop_ratio"]),
+            score_normalize_xyz=bool(sc.cfg["normalize_xyz"]),
+            score_hw=(tuple(sc.cfg["input_resize"])
+                      if tuple(sc.cfg["input_resize"]) != tuple(ref.cfg["input_resize"])
+                      else None),
+        )
+
+    def precompile_async(self, K, image_hw, iteration=5, track_iteration=2):
+        """Compile the fused register + track programs in background threads.
+
+        Cold-start killer (the reference is interactive from process start,
+        run.py:32-41; our fused register program costs ~5 min to compile cold
+        and a few seconds to load from a warm persistent cache): kicking this
+        off right after construction overlaps the compiles with scene/camera/
+        web-server setup.  Two threads with different roles:
+
+        - fused register (the ~5 min cold pole): while it is STILL compiling,
+          register() detours through the staged path — four small programs
+          that cold-compile in ~50 s total (measured: 16.5/11.6/11.2/11.1 s,
+          tools/exp_compile_split.py) and are pinned result-identical to the
+          fused cascade by tests/test_register_pipeline.py.  First-ever pose
+          lands in ~1 min instead of ~5.
+        - track program: small; track_one() joins this thread only (never the
+          fused one — tracking must not block minutes behind it).
+
+        In-process reuse of lower().compile() results by the normal jit call
+        is load-bearing and was verified on device (tools/profile_compile.py:
+        first register after precompile 1.0-2.7 s).
+
+        @K: 3x3 intrinsics (values irrelevant — only shape/dtype matter).
+        @image_hw: (H, W) of the frames register()/track_one() will see.
+        """
+        import threading
+
+        if self.device_mesh is not None:
+            return None  # the sharded path compiles per-mesh programs
+
+        H, W = int(image_hw[0]), int(image_hw[1])
+        n = len(self.rot_grid)
+        ref = self.refiner
+        f32 = jnp.float32
+        sd = jax.ShapeDtypeStruct
+
+        def _work_fused():
+            try:
+                import time as _time
+
+                from .models.predict import register_pipeline_jit
+
+                logging.info("precompile: fused register compile started")
+                _t0 = _time.perf_counter()
+                register_pipeline_jit.lower(
+                    ref.model, ref.params, self.scorer.model, self.scorer.params,
+                    self.mesh_tensors, sd((n, 4, 4), f32), sd((H, W, 3), f32),
+                    sd((H, W), f32), sd((3, 3), f32),
+                    *self._register_scalar_args(),
+                    **self._register_pipeline_kwargs(iteration),
+                ).compile()
+                logging.info(f"precompile: fused register ready "
+                             f"({_time.perf_counter() - _t0:.1f}s)")
+            except Exception as e:  # pragma: no cover - diagnostics only
+                logging.warning(f"fused-register precompile failed (non-fatal): {e}")
+
+        def _work_track():
+            try:
+                from .models.predict import track_pose_jit
+
+                track_pose_jit.lower(
+                    ref.model, ref.params, self.mesh_tensors,
+                    sd((1, 4, 4), f32), sd((H, W, 5), jnp.uint8), sd((3, 3), f32),
+                    *self._register_scalar_args(),
+                    iterations=int(track_iteration),
+                    out_hw=tuple(ref.cfg["input_resize"]),
+                    normalize_xyz=bool(ref.cfg["normalize_xyz"]),
+                    trans_rep=ref.cfg["trans_rep"], rot_rep=ref.cfg["rot_rep"],
+                    backface_cull=self.backface_cull,
+                ).compile()
+            except Exception as e:  # pragma: no cover - diagnostics only
+                logging.warning(f"track precompile failed (non-fatal): {e}")
+
+        tf = threading.Thread(target=_work_fused, daemon=True, name="sixdof-precompile-fused")
+        tt = threading.Thread(target=_work_track, daemon=True, name="sixdof-precompile-track")
+        tf.start()
+        tt.start()
+        self._precompile_fused_thread = tf
+        self._precompile_track_thread = tt
+        return tf
+
+    def _fused_register_pending(self):
+        """True while the background fused-register compile is in flight —
+        register() then detours through the staged path instead of blocking."""
+        t = getattr(self, "_precompile_fused_thread", None)
+        return t is not None and t.is_alive()
+
+    def _join_precompile(self):
+        """Wait for an in-flight TRACK precompile (avoids a duplicate
+        concurrent compile of the same program; no-op when none is running).
+        Deliberately does not touch the fused-register thread."""
+        t = getattr(self, "_precompile_track_thread", None)
+        if t is not None and t.is_alive():
+            logging.info("waiting for background track precompile")
+            t.join()
+
     def guess_translation(self, depth, mask, K):
         """Mask-center backprojection at median masked depth
         (reference estimater.py:135-154)."""
@@ -225,36 +351,25 @@ class FoundationPose:
             poses, n_hypo = shard_hypotheses(jnp.asarray(poses, dtype=jnp.float32),
                                              self.device_mesh)
 
-        if self.device_mesh is None and self.debug < 2:
+        if self.device_mesh is None and self.debug < 2 \
+                and not self._fused_register_pending():
             # fused register: the whole coarse->prune->refine->score cascade
             # is ONE jitted dispatch (models/predict.py::register_pipeline_jit)
             # — one host round trip instead of ~6 (tunnel latency dominates
-            # multi-stage host orchestration on remote TPU)
+            # multi-stage host orchestration on remote TPU).  While the
+            # background fused compile is still in flight (cold start), the
+            # staged path below answers in ~1 min instead of blocking ~5.
             from .models.predict import register_pipeline_jit, to_rgb01
 
             ref, sc = self.refiner, self.scorer
             rgb01 = to_rgb01(rgb)
+            logging.info("register: fused path")
             poses_sorted, scores_sorted = register_pipeline_jit(
                 ref.model, ref.params, sc.model, sc.params, self.mesh_tensors,
                 jnp.asarray(poses, dtype=jnp.float32), rgb01, depth,
-                jnp.asarray(K, dtype=jnp.float32), float(self.diameter),
-                float(ref.cfg["crop_ratio"]), float(ref.cfg["trans_normalizer"]),
-                float(ref.cfg["rot_normalizer"]),
-                prune_to=int(self.prune_to) if self.prune_to else 0,
-                prune_schedule=self.prune_schedule,
-                coarse_iters=2, iterations=int(iteration),
-                out_hw=tuple(ref.cfg["input_resize"]), coarse_hw=self.coarse_hw,
-                normalize_xyz=bool(ref.cfg["normalize_xyz"]),
-                trans_rep=ref.cfg["trans_rep"], rot_rep=ref.cfg["rot_rep"],
-                score_mode=sc.cfg.get("score_mode", "hybrid"),
-                backface_cull=self.backface_cull,
-                # the scorer's own conventions (the staged path honors sc.cfg
-                # via scorer.predict; the fused path must match)
-                score_crop_ratio=float(sc.cfg["crop_ratio"]),
-                score_normalize_xyz=bool(sc.cfg["normalize_xyz"]),
-                score_hw=(tuple(sc.cfg["input_resize"])
-                          if tuple(sc.cfg["input_resize"]) != tuple(ref.cfg["input_resize"])
-                          else None),
+                jnp.asarray(K, dtype=jnp.float32),
+                *self._register_scalar_args(),
+                **self._register_pipeline_kwargs(iteration),
             )
             poses_np = np.asarray(poses_sorted)
             scores_np = np.asarray(scores_sorted)
@@ -269,6 +384,9 @@ class FoundationPose:
             self.scores = scores_np
             return best_pose
 
+        logging.info("register: staged path"
+                     + (" (fused compile in flight)" if self._fused_register_pending()
+                        else ""))
         xyz_map = depth2xyzmap(depth, jnp.asarray(K, dtype=jnp.float32))
         schedule = self.prune_schedule
         if schedule is None and self.prune_to and self.prune_to < len(poses) \
@@ -450,6 +568,7 @@ class FoundationPose:
         else:
             pose_last_dev = jnp.asarray(
                 np.asarray(self.pose_last).reshape(1, 4, 4), dtype=jnp.float32)
+        self._join_precompile()
         pose, _depth_filtered = track_pose_jit(
             ref.model, ref.params, self.mesh_tensors,
             pose_last_dev,

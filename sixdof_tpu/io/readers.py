@@ -404,7 +404,11 @@ class KinectReader(_ReaderCommon):
         return "KinectLiveStream"
 
     def __len__(self):
-        return float("inf")
+        # live stream has no end; len() requires an int (float("inf") raises
+        # TypeError in CPython), so report the largest representable length
+        import sys
+
+        return sys.maxsize
 
     def get_gt_pose(self, i):
         logging.info("GT pose not available for live data")

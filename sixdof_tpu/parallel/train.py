@@ -48,6 +48,11 @@ class TrainConfig(NamedTuple):
     # probability a B crop gets a random foreground occluder (see
     # _crop_occluder: real scenes occlude; unoccluded-only pairs diverge)
     p_occlusion: float = 0.5
+    # probability a B crop gets the in-graph sensor degradation
+    # (parallel/augment.py — the same family as the eval track's
+    # tools/sensor_model.py; clean-only pairs never see real-sensor artifacts)
+    p_sensor: float = 0.0
+    sensor_strength: float = 1.0
 
 
 def _random_poses(key, n, z_range):
@@ -237,6 +242,11 @@ def make_refiner_batch(key, mesh: MeshArrays, K, mesh_diameter, cfg: TrainConfig
         kocc = jax.random.fold_in(k4, 1)
         rgbB, xyzB = _apply_occluder(kocc, tf_to_crops, K, gt[:, 2, 3],
                                      cfg.input_hw, rgbB, xyzB, cfg.p_occlusion)
+    if cfg.p_sensor > 0:
+        from .augment import maybe_degrade_pair
+
+        rgbB, xyzB = maybe_degrade_pair(jax.random.fold_in(k4, 2), rgbB, xyzB,
+                                        cfg.p_sensor, cfg.sensor_strength)
 
     A = jnp.concatenate([rendA["color"], rendA["xyz_map"] - center], axis=-1)
     B = jnp.concatenate([rgbB, xyzB - center], axis=-1)
@@ -317,6 +327,11 @@ def make_scorer_batch(key, mesh: MeshArrays, K, mesh_diameter, cfg: TrainConfig,
         kocc = jax.random.fold_in(knz, 1)
         rgbB, xyzB = _apply_occluder(kocc, tf_to_crops, K, gt[:, 2, 3],
                                      cfg.input_hw, rgbB, xyzB, cfg.p_occlusion)
+    if cfg.p_sensor > 0:
+        from .augment import maybe_degrade_pair
+
+        rgbB, xyzB = maybe_degrade_pair(jax.random.fold_in(knz, 2), rgbB, xyzB,
+                                        cfg.p_sensor, cfg.sensor_strength)
     A = jnp.concatenate([rendA["color"], rendA["xyz_map"] - center], axis=-1)
     B = jnp.concatenate([rgbB, xyzB - center], axis=-1)
     # ADD proxy: mean vertex displacement between hypothesis and gt

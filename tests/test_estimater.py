@@ -289,3 +289,47 @@ def test_capture_ctx_guards(rng=np.random.RandomState(0)):
     with _pytest.raises(ValueError):
         ctx.check(tgt, mesh, np.diag([1.0, 1.0, 1.0, 2.0]))
     ctx.check(tgt, mesh, c2d)  # matching args pass
+
+
+def test_precompile_async_then_register(small_estimator, scene_dir):
+    """precompile_async compiles the fused/track programs in background
+    threads; register() after the fused thread finishes matches a plain call
+    (in-process lower().compile() reuse is the cold-start fix, VERDICT r2
+    item 4), and WHILE the fused compile is in flight register() detours
+    through the staged path instead of blocking."""
+    est = small_estimator
+    reader = _read_frame(scene_dir)
+    color = reader.get_color(0)
+    depth = reader.get_depth(0)
+    mask = reader.get_mask(color, 0).astype(bool)
+
+    baseline = est.register(K=reader.color_K, rgb=color, depth=depth,
+                            ob_mask=mask, iteration=1)
+    t = est.precompile_async(reader.color_K, depth.shape, iteration=1,
+                             track_iteration=1)
+    assert t is not None
+    t.join(timeout=600)
+    assert not t.is_alive()
+    pose = est.register(K=reader.color_K, rgb=color, depth=depth,
+                        ob_mask=mask, iteration=1)
+    np.testing.assert_allclose(pose, baseline, atol=1e-5)
+    tracked = est.track_one(rgb=color, depth=depth, K=reader.color_K, iteration=1)
+    assert tracked.shape == (4, 4)
+    assert not est._precompile_track_thread.is_alive()  # track_one joined it
+
+    # cold-start detour: while the fused compile is "in flight", register
+    # must answer via the staged path with the same result
+    import threading
+
+    gate = threading.Event()
+    blocker = threading.Thread(target=gate.wait, daemon=True)
+    blocker.start()
+    est._precompile_fused_thread = blocker
+    try:
+        assert est._fused_register_pending()
+        pose_staged = est.register(K=reader.color_K, rgb=color, depth=depth,
+                                   ob_mask=mask, iteration=1)
+    finally:
+        gate.set()
+        blocker.join(timeout=60)
+    np.testing.assert_allclose(pose_staged, baseline, atol=1e-4)

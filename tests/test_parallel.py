@@ -187,3 +187,41 @@ def test_procedural_objects_shared_topology():
         jax.random.PRNGKey(0), make_mesh_arrays(m1), K, jnp.float32(0.12), cfg)
     assert bool(jnp.isfinite(A).all() & jnp.isfinite(B).all())
     assert float(jnp.abs(A).max()) > 0  # object actually rendered
+
+
+def test_refiner_batch_with_sensor_augmentation():
+    """p_sensor > 0 runs the in-graph degradation inside the jitted batch
+    maker: shapes intact, A-side untouched (degradation is a B-side/sensor
+    property), some B pixels visibly degraded."""
+    import jax
+    import jax.numpy as jnp
+
+    from sixdof_tpu.io.mesh_io import TriMesh
+    from sixdof_tpu.ops.rasterize import make_mesh_arrays
+    from sixdof_tpu.parallel.train import TrainConfig, make_refiner_batch, make_scorer_batch
+
+    v = np.array(
+        [[-0.04, -0.03, -0.02], [0.04, -0.03, -0.02], [0.04, 0.03, -0.02], [-0.04, 0.03, -0.02],
+         [-0.04, -0.03, 0.02], [0.04, -0.03, 0.02], [0.04, 0.03, 0.02], [-0.04, 0.03, 0.02]]
+    )
+    f = np.array([[0, 2, 1], [0, 3, 2], [4, 5, 6], [4, 6, 7], [0, 1, 5], [0, 5, 4],
+                  [2, 3, 7], [2, 7, 6], [1, 2, 6], [1, 6, 5], [3, 0, 4], [3, 4, 7]])
+    arrays = make_mesh_arrays(TriMesh(v, f))
+    K = jnp.asarray([[300.0, 0, 80], [0, 300.0, 60], [0, 0, 1]], dtype=jnp.float32)
+
+    cfg0 = TrainConfig(batch_size=8, input_hw=(48, 48), p_occlusion=0.0)
+    cfg1 = cfg0._replace(p_sensor=1.0)
+    key = jax.random.PRNGKey(0)
+    A0, B0, dt0, dw0 = make_refiner_batch(key, arrays, K, 0.1, cfg0)
+    A1, B1, dt1, dw1 = make_refiner_batch(key, arrays, K, 0.1, cfg1)
+    assert B1.shape == B0.shape
+    np.testing.assert_array_equal(np.asarray(A1), np.asarray(A0))  # A untouched
+    np.testing.assert_array_equal(np.asarray(dt1), np.asarray(dt0))  # targets too
+    assert np.abs(np.asarray(B1) - np.asarray(B0)).max() > 1e-3  # B degraded
+    assert np.isfinite(np.asarray(B1)).all()
+
+    sA0, sB0, st0 = make_scorer_batch(key, arrays, K, 0.1, cfg0, n_scenes=2)
+    sA1, sB1, st1 = make_scorer_batch(key, arrays, K, 0.1, cfg1, n_scenes=2)
+    np.testing.assert_array_equal(np.asarray(sA1), np.asarray(sA0))
+    np.testing.assert_array_equal(np.asarray(st1), np.asarray(st0))
+    assert np.abs(np.asarray(sB1) - np.asarray(sB0)).max() > 1e-3

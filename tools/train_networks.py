@@ -75,8 +75,12 @@ def main(scene_dirs, refiner_steps=800, scorer_steps=400, out_dir=None):
         objects += procedural_objects(n_proc, K_proc)
         logging.info(f"added {n_proc} procedural objects (shared topology)")
 
+    # p_sensor: half the B-sides get the in-graph sensor degradation
+    # (parallel/augment.py) so the nets see the artifacts the eval track's
+    # sensor model produces; SENSOR_AUG=0 disables for ablations
     cfg = TrainConfig(batch_size=32, input_hw=(160, 160), lr=1e-4,
-                      z_range=(0.4, 0.8))
+                      z_range=(0.4, 0.8),
+                      p_sensor=float(os.environ.get("SENSOR_AUG", "0.5")))
 
     def train_shared(trainers, n_steps, tag):
         """Round-robin the per-object jitted steps over shared params."""
