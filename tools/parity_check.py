@@ -135,6 +135,32 @@ def main(scene_dir, n_frames=None):
     return out
 
 
+# accuracy floors (VERDICT r2 weak-8: nothing enforced one).  Set to ~2x the
+# healthy numbers recorded in .claude/skills/verify/SKILL.md — breaching one
+# means a real regression, not noise.  PARITY_ASSERT=1 turns breaches into a
+# non-zero exit.
+THRESHOLDS = {
+    "synth_box": dict(adds_mean_m=0.006, icp_adds_mm=5.0,
+                      defect_surface_median_dist_mm=5.0, rot_err_deg_mean=20.0),
+    "synth_box_sensor": dict(adds_mean_m=0.007, icp_adds_mm=6.0,
+                             defect_surface_median_dist_mm=6.0, rot_err_deg_mean=25.0),
+    "synth_clutter": dict(adds_mean_m=0.011, icp_adds_mm=8.0,
+                          defect_surface_median_dist_mm=6.0),
+    "synth_clutter_sensor": dict(adds_mean_m=0.014, icp_adds_mm=12.0,
+                                 defect_surface_median_dist_mm=6.0),
+}
+
+
+def check_thresholds(name, result):
+    """Returns a list of breach strings (empty = scene within its floor)."""
+    breaches = []
+    for metric, ceiling in THRESHOLDS.get(name, {}).items():
+        v = result.get(metric)
+        if v is not None and v >= 0 and v > ceiling:
+            breaches.append(f"{name}: {metric}={v:.4g} > {ceiling}")
+    return breaches
+
+
 if __name__ == "__main__":
     scene = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "demo_data", "synth_box")
     nf = int(sys.argv[2]) if len(sys.argv) > 2 else None
@@ -154,5 +180,19 @@ if __name__ == "__main__":
         print(json.dumps({k: {m: v[m] for m in ("adds_mean_m", "adds_auc_0.1d",
                                                 "icp_adds_mm", "defect_surface_median_dist_mm")}
                           for k, v in results.items()}, indent=1))
+        if os.environ.get("PARITY_ASSERT"):
+            breaches = [b for k, v in results.items() for b in check_thresholds(k, v)]
+            if breaches:
+                print("PARITY FLOOR BREACHED:\n  " + "\n  ".join(breaches),
+                      file=sys.stderr)
+                sys.exit(1)
+            print("parity floors: all scenes within thresholds")
     else:
-        main(scene, nf)
+        result = main(scene, nf)
+        if os.environ.get("PARITY_ASSERT"):
+            breaches = check_thresholds(os.path.basename(scene.rstrip("/")), result)
+            if breaches:
+                print("PARITY FLOOR BREACHED:\n  " + "\n  ".join(breaches),
+                      file=sys.stderr)
+                sys.exit(1)
+            print("parity floors: scene within thresholds")
