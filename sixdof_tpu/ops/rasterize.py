@@ -287,7 +287,7 @@ def _sample_texture(tex, uv):
     jax.jit,
     static_argnames=("out_hw", "tri_chunk", "pose_chunk", "get_normal", "use_light",
                      "use_pallas", "backface_cull", "band_min_tris",
-                     "pallas_tri_chunk"),
+                     "pallas_tri_chunk", "pallas_tile"),
 )
 def render_batch(
     mesh: MeshArrays,
@@ -307,6 +307,7 @@ def render_batch(
     use_pallas=None,
     backface_cull=False,
     band_min_tris=4096,
+    pallas_tile=2048,
 ):
     """Render N hypotheses into their crop windows.
 
@@ -483,7 +484,8 @@ def render_batch(
             counts = valid.sum(axis=1).astype(jnp.int32)  # (B,)
             grouped = group_coefficients(coef_c, valid_c, tri_chunk=pc)
             zbuf_flat, tid_c = rasterize_zbuffer_pallas(
-                grouped, H, W, tri_chunk=pc, counts=counts[:, None],  # (B, n_tiles) bcast
+                grouped, H, W, tri_chunk=pc, tile=pallas_tile,
+                counts=counts[:, None],  # (B, n_tiles) bcast
             )
             # compacted tid -> original triangle id
             tid_orig = jnp.take_along_axis(
@@ -492,7 +494,8 @@ def render_batch(
             tid_flat = jnp.where(tid_c >= 0, tid_orig.astype(jnp.int32), -1)
         else:
             grouped = group_coefficients(coef, valid, tri_chunk=pc)
-            zbuf_flat, tid_flat = rasterize_zbuffer_pallas(grouped, H, W, tri_chunk=pc)
+            zbuf_flat, tid_flat = rasterize_zbuffer_pallas(grouped, H, W, tri_chunk=pc,
+                                                           tile=pallas_tile)
         tid = tid_flat.reshape(B, H, W)
         zbuf = zbuf_flat.reshape(B, H, W)
     else:
