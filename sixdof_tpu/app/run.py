@@ -118,6 +118,8 @@ def main(args):
         prune_to=args.prune_to or None,
         prune_schedule=_parse_prune_schedule(getattr(args, "prune_schedule", "")),
         track_crop=bool(getattr(args, "track_crop", 1)),
+        polish_top=int(getattr(args, "polish_top", 0) or 0),
+        polish_iters=int(getattr(args, "polish_iters", 2) or 0),
     )
     if args.max_hypotheses and len(est.rot_grid) > args.max_hypotheses:
         step = len(est.rot_grid) // args.max_hypotheses
@@ -419,6 +421,12 @@ def build_parser():
                         help="progressive coarse pruning stages as "
                              "'ITERSxKEEP,...' (e.g. '1x128,1x64'); overrides "
                              "--prune_to's single two-iteration cut")
+    parser.add_argument("--polish_top", type=int, default=0,
+                        help="after the final score, run extra refine "
+                             "iterations on this many best hypotheses and "
+                             "rank them alongside the originals (0 = off)")
+    parser.add_argument("--polish_iters", type=int, default=2,
+                        help="refine iterations per polished hypothesis")
     return parser
 
 

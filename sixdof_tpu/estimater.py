@@ -55,7 +55,7 @@ class FoundationPose:
                  scorer: ScorePredictor = None, refiner: PoseRefinePredictor = None,
                  glctx=None, debug=0, debug_dir="debug/fp", prune_to=None,
                  device_mesh=None, coarse_hw=(96, 96), prune_schedule=None,
-                 track_crop=True):
+                 track_crop=True, polish_top=0, polish_iters=2):
         """@prune_to: optional coarse-to-fine registration — after 2 refine
         iterations over the full rotation grid, keep only the prune_to
         best-scoring hypotheses for the remaining iterations (roughly halves
@@ -69,12 +69,20 @@ class FoundationPose:
         registration, so 96x96 cuts register latency ~2x; None disables.
         @device_mesh: optional jax.sharding.Mesh — register() shards the
         hypothesis axis over its `data` axis (SURVEY.md §2.3); refinement,
-        scoring and rendering then run collective-free across chips."""
+        scoring and rendering then run collective-free across chips.
+        @polish_top/@polish_iters: after the final score, run polish_iters
+        extra refine iterations on the polish_top best hypotheses and rank
+        them alongside the originals (models/predict.py cascade polish).
+        The cascade's survivors start 30 deg apart, so the winner usually
+        sits at the edge of the refiner's basin; polishing the best few is
+        nearly free relative to the full-grid stages.  0 disables."""
         self.gt_pose = None
         self.ignore_normal_flip = True
         self.prune_to = prune_to
         self.prune_schedule = tuple(tuple(s) for s in prune_schedule) \
             if prune_schedule else None
+        self.polish_top = int(polish_top or 0)
+        self.polish_iters = int(polish_iters or 0)
         self.coarse_hw = tuple(coarse_hw) if coarse_hw is not None else None
         self.device_mesh = device_mesh
         self.debug = debug
@@ -197,6 +205,7 @@ class FoundationPose:
             score_hw=(tuple(sc.cfg["input_resize"])
                       if tuple(sc.cfg["input_resize"]) != tuple(ref.cfg["input_resize"])
                       else None),
+            polish_top=self.polish_top, polish_iters=self.polish_iters,
         )
 
     def precompile_async(self, K, image_hw, iteration=5, track_iteration=2):
@@ -435,8 +444,35 @@ class FoundationPose:
         )
 
         scores_np = np.asarray(scores)[:n_hypo]
+        poses_np = np.asarray(poses)[:n_hypo]
+        if self.polish_top and self.polish_iters and self.polish_top <= n_hypo:
+            # staged mirror of the fused cascade's top-K polish (see
+            # models/predict.py::register_pipeline_jit): extra refine
+            # iterations on the best few, ranked ALONGSIDE the originals
+            top = np.argsort(-scores_np)[: self.polish_top]
+            cand = poses_np[top]
+            if self.device_mesh is not None:
+                from .parallel.sharding import shard_hypotheses
+
+                cand, n_cand = shard_hypotheses(
+                    jnp.asarray(cand, dtype=jnp.float32), self.device_mesh)
+            else:
+                n_cand = len(cand)
+            cand, _ = self.refiner.predict(
+                mesh=self.mesh, mesh_tensors=self.mesh_tensors, rgb=rgb,
+                depth=depth, K=K, ob_in_cams=cand, xyz_map=xyz_map, glctx=None,
+                mesh_diameter=self.diameter, iteration=self.polish_iters,
+                get_vis=False, backface_cull=self.backface_cull,
+            )
+            cand_scores, _ = self.scorer.predict(
+                mesh=self.mesh, rgb=rgb, depth=depth, K=K, ob_in_cams=cand,
+                mesh_tensors=self.mesh_tensors, glctx=None,
+                mesh_diameter=self.diameter, backface_cull=self.backface_cull,
+            )
+            poses_np = np.concatenate([np.asarray(cand)[:n_cand], poses_np])
+            scores_np = np.concatenate([np.asarray(cand_scores)[:n_cand], scores_np])
         ids = np.argsort(-scores_np)
-        poses_np = np.asarray(poses)[:n_hypo][ids]
+        poses_np = poses_np[ids]
         logging.info(f"sorted scores (top5): {scores_np[ids][:5]}")
 
         best_pose = poses_np[0] @ self.get_tf_to_centered_mesh()

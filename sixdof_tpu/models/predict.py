@@ -278,7 +278,7 @@ def score_poses_jit(
     static_argnames=("rmodel", "smodel", "prune_to", "coarse_iters", "iterations",
                      "out_hw", "coarse_hw", "normalize_xyz", "trans_rep", "rot_rep",
                      "score_mode", "backface_cull", "prune_schedule",
-                     "score_normalize_xyz", "score_hw"),
+                     "score_normalize_xyz", "score_hw", "polish_top", "polish_iters"),
 )
 def register_pipeline_jit(
     rmodel, rparams, smodel, sparams, mesh: MeshArrays, poses, rgb01, depth, K,
@@ -287,6 +287,7 @@ def register_pipeline_jit(
     normalize_xyz=False, trans_rep="tracknet", rot_rep="axis_angle",
     score_mode="hybrid", backface_cull=False, prune_schedule=None,
     score_crop_ratio=None, score_normalize_xyz=None, score_hw=None,
+    polish_top=0, polish_iters=0,
 ):
     """The ENTIRE registration cascade as one device program: coarse refine
     over the full grid -> score -> top-K prune -> full-resolution refine ->
@@ -342,6 +343,19 @@ def register_pipeline_jit(
     # coarse prune stages score at the coarse resolution by design; only the
     # final ranking honors a scorer-specific input resolution
     scores = score(poses, out_hw if score_hw is None else score_hw)
+    if polish_top and polish_iters and polish_top <= poses.shape[0]:
+        # top-K polish: the survivors of the cascade sit near the edge of the
+        # refiner's convergence basin (the rotation grid is 30-deg-spaced);
+        # extra iterations on just the best few walk them the rest of the way
+        # in, at ~polish_top/keep_k of the final stage's cost.  Polished
+        # candidates JOIN the ranking pool (concat, polished first so equal
+        # scores prefer them) rather than replacing their originals — a
+        # diverging polish can never evict a pose that already ranked well.
+        _, keep = jax.lax.top_k(scores, polish_top)
+        polished = refine(poses[keep], polish_iters, out_hw)
+        pol_scores = score(polished, out_hw if score_hw is None else score_hw)
+        poses = jnp.concatenate([polished, poses], axis=0)
+        scores = jnp.concatenate([pol_scores, scores], axis=0)
     order = jnp.argsort(-scores)
     return poses[order], scores[order]
 

@@ -127,3 +127,77 @@ def test_fused_register_progressive_schedule():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(fused_scores), np.asarray(fs)[order],
                                rtol=1e-5, atol=1e-5)
+
+
+def test_fused_register_polish_matches_staged():
+    """polish_top/polish_iters: the top-K get extra refine iterations and the
+    polished candidates JOIN the ranking pool (concat, polished first)."""
+    arrays, K, poses, rgb01, depth, model, params, smodel, sparams, hw = _setup()
+    diam, cr, tn, rn = 0.1, 1.2, 0.02, 0.3490658503988659
+    P, PI = 3, 2
+
+    fused_poses, fused_scores = register_pipeline_jit(
+        model, params, smodel, sparams, arrays, poses, rgb01, depth, K,
+        diam, cr, tn, rn, prune_to=0, coarse_iters=2, iterations=2,
+        out_hw=hw, coarse_hw=None, score_mode="hybrid",
+        polish_top=P, polish_iters=PI,
+    )
+    assert fused_poses.shape == (len(poses) + P, 4, 4)
+    s = np.asarray(fused_scores)
+    assert (np.diff(s) <= 1e-6).all()  # sorted descending
+
+    # staged reference: refine all, score, polish top-P, concat, sort
+    xyz = depth2xyzmap(depth, K)
+    p = refine_poses_jit(model, params, arrays, poses, rgb01, xyz, K, diam,
+                         cr, tn, rn, iterations=2, out_hw=hw)
+    sc = score_poses_jit(smodel, sparams, arrays, p, rgb01, xyz, K, diam, cr,
+                         out_hw=hw, mode="hybrid")
+    top = np.argsort(-np.asarray(sc))[:P]
+    pol = refine_poses_jit(model, params, arrays, p[jnp.asarray(top)], rgb01,
+                           xyz, K, diam, cr, tn, rn, iterations=PI, out_hw=hw)
+    ps = score_poses_jit(smodel, sparams, arrays, pol, rgb01, xyz, K, diam, cr,
+                         out_hw=hw, mode="hybrid")
+    pool_p = np.concatenate([np.asarray(pol), np.asarray(p)])
+    pool_s = np.concatenate([np.asarray(ps), np.asarray(sc)])
+    order = np.argsort(-pool_s)
+    np.testing.assert_allclose(np.asarray(fused_poses), pool_p[order], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fused_scores), pool_s[order],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_estimater_polish_staged_path(tmp_path):
+    """FoundationPose(polish_top=..) staged register returns a valid pool and
+    the winner's score is >= the no-polish winner's (the pool only grows)."""
+    from sixdof_tpu.estimater import FoundationPose
+    from sixdof_tpu.io.mesh_io import TriMesh
+    from sixdof_tpu.models.predict import PoseRefinePredictor, ScorePredictor
+
+    v = np.array(
+        [[-0.04, -0.03, -0.02], [0.04, -0.03, -0.02], [0.04, 0.03, -0.02], [-0.04, 0.03, -0.02],
+         [-0.04, -0.03, 0.02], [0.04, -0.03, 0.02], [0.04, 0.03, 0.02], [-0.04, 0.03, 0.02]]
+    )
+    f = np.array([[0, 2, 1], [0, 3, 2], [4, 5, 6], [4, 6, 7], [0, 1, 5], [0, 5, 4],
+                  [2, 3, 7], [2, 7, 6], [1, 2, 6], [1, 6, 5], [3, 0, 4], [3, 4, 7]])
+    mesh = TriMesh(v, f)
+    cfg = {"input_resize": (24, 24)}
+    ref = PoseRefinePredictor(cfg=dict(cfg))
+    sc = ScorePredictor(cfg=dict(cfg, score_mode="depth"))
+    rng = np.random.RandomState(3)
+    rgb = (rng.rand(60, 80, 3) * 255).astype(np.uint8)
+    depth = np.full((60, 80), 0.5, dtype=np.float32)
+    K = np.array([[150.0, 0, 40], [0, 150.0, 30], [0, 0, 1]])
+    mask = np.zeros((60, 80), dtype=np.uint8)
+    mask[20:40, 30:50] = 1
+
+    results = {}
+    for ptop in (0, 3):
+        est = FoundationPose(model_pts=mesh.vertices, model_normals=None,
+                             mesh=mesh, refiner=ref, scorer=sc, debug=2,
+                             debug_dir=str(tmp_path), polish_top=ptop,
+                             polish_iters=1)
+        est.rot_grid = est.rot_grid[:6]
+        pose = est.register(K=K, rgb=rgb, depth=depth, ob_mask=mask, iteration=2)
+        assert pose.shape == (4, 4)
+        results[ptop] = (len(est.poses), est.scores[0])
+    assert results[3][0] == results[0][0] + 3  # pool grew by polish_top
+    assert results[3][1] >= results[0][1] - 1e-5  # winner never worse
