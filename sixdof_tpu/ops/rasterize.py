@@ -451,21 +451,22 @@ def render_batch(
         zbuf = zbuf_flat.reshape(B, H, W)
         tid = tid_flat.reshape(B, H, W)
 
-        # shade straight off the BANDED table: band-local candidate rows of
-        # the full plane table + one zero miss-row — keeps exactly one gather
-        def banded_table(table_i, ids_i):
-            sel = table_i[ids_i.reshape(-1)]  # (nb*cap,3,D); pads hit row T=0s
-            return jnp.concatenate([sel, jnp.zeros_like(sel[:1])], axis=0)
-
-        tables_b = jax.vmap(banded_table)(tables, ids_band)
+        # shade from the FULL plane table: map each pixel's band-local
+        # candidate index back to its original triangle id through ids_band
+        # (one extra int gather per pixel) instead of materializing the
+        # banded table rows — a (B, nb*cap, 3, D) gather is O(10x T) rows at
+        # high triangle counts and blew past HBM at T=5k x B=252, while the
+        # chained int->row gathers stay O(pixels).  ids_band pads with T,
+        # which is exactly the full table's zero miss-row.
         band_of_px = (jnp.arange(H * W, dtype=jnp.int32) // (band_rows * W))
 
-        def pixel_ids(tid_i):
+        def pixel_ids(ids_band_i, tid_i):
             t_ = tid_i.reshape(-1)
-            return jnp.where(t_ < 0, n_bands * cap, band_of_px * cap + t_)
+            orig = ids_band_i[band_of_px, jnp.maximum(t_, 0)]  # (P,)
+            return jnp.where(t_ < 0, T, orig)
 
-        ids_px = jax.vmap(pixel_ids)(tid)
-        return jax.vmap(shade)(crop_tfs.astype(jnp.float32), tables_b, ids_px, tid, zbuf)
+        ids_px = jax.vmap(pixel_ids)(ids_band, tid)
+        return jax.vmap(shade)(crop_tfs.astype(jnp.float32), tables, ids_px, tid, zbuf)
 
     if use_pallas:
         from .pallas.raster_kernel import group_coefficients, rasterize_zbuffer_pallas
