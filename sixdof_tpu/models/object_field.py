@@ -465,25 +465,35 @@ class ObjectFieldRunner:
         so a load_weights that restores a different normalization must call
         this again."""
         loss_fn = make_loss_fn(self.cfg, self.spec, float(self.sc_factor))
+        n_rand = int(self.cfg.n_rand)
 
-        def step(params, opt_state, batch, key):
+        def step(params, opt_state, rays, key):
+            # minibatch sampled ON DEVICE: the ray table lives in HBM and the
+            # step is a single dispatch — per-step host fancy-indexing +
+            # uploads through the TPU tunnel dominated wall-clock (the r3s2
+            # campaigns measured ~6-7 s/step under tunnel load; one-time
+            # upload + device gather removes every per-step transfer)
+            kidx, key = jax.random.split(key)
+            idx = jax.random.randint(kidx, (n_rand,), 0, rays.shape[0])
+            batch = rays[idx]
             (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch, key)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss, parts
 
         self._step = jax.jit(step, donate_argnums=(0, 1))
+        self._rays_dev = None
 
     def train(self, n_steps=None, log_every=100):
         n_steps = n_steps or self.cfg.n_step
         key = jax.random.PRNGKey(1)
         losses = []
+        if self._rays_dev is None:
+            self._rays_dev = jnp.asarray(self.rays)
         for i in range(n_steps):
-            idx = self._rng.randint(0, len(self.rays), size=self.cfg.n_rand)
-            batch = jnp.asarray(self.rays[idx])
             key, sub = jax.random.split(key)
             self.params, self.opt_state, loss, parts = self._step(
-                self.params, self.opt_state, batch, sub
+                self.params, self.opt_state, self._rays_dev, sub
             )
             self.global_step += 1
             # keep the loss on device: a float() here is a blocking host
