@@ -78,9 +78,38 @@ def main(scene_dirs, refiner_steps=800, scorer_steps=400, out_dir=None):
     # p_sensor: half the B-sides get the in-graph sensor degradation
     # (parallel/augment.py) so the nets see the artifacts the eval track's
     # sensor model produces; SENSOR_AUG=0 disables for ablations
-    cfg = TrainConfig(batch_size=32, input_hw=(160, 160), lr=1e-4,
+    cfg = TrainConfig(batch_size=32, input_hw=(160, 160),
+                      lr=float(os.environ.get("REFINER_LR", "1e-4")),
                       z_range=(0.4, 0.8),
+                      p_occlusion=float(os.environ.get("P_OCC", "0.5")),
                       p_sensor=float(os.environ.get("SENSOR_AUG", "0.5")))
+
+    # INIT_WEIGHTS=weights: fine-tune from an existing checkpoint pair instead
+    # of from scratch.  From-scratch refiner runs sit on a long ~2.1-loss
+    # plateau (see PROGRESS_NOTES round-3 triage: 600- and 2500-step probes
+    # flatline in BOTH the current and the r2-campaign code); starting from
+    # the landed generalist weights sidesteps the plateau entirely and lets a
+    # campaign spend its steps on the actual target (occlusion/sensor
+    # robustness, ranking quality) rather than re-deriving the trunk.
+    init_dir = os.environ.get("INIT_WEIGHTS", "")
+
+    def restore_init(subdir, model, example_inputs):
+        if not init_dir:
+            return None
+        path = os.path.join(init_dir, subdir)
+        if not os.path.isdir(path):
+            logging.warning(f"INIT_WEIGHTS set but {path} missing — from scratch")
+            return None
+        import orbax.checkpoint as ocp
+
+        abstract = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0), *example_inputs))
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(os.path.abspath(path), abstract)
+        logging.info(f"fine-tuning from {path}")
+        import jax.numpy as jnp
+
+        return jax.tree.map(jnp.asarray, restored["params"])
 
     def train_shared(trainers, n_steps, tag):
         """Round-robin the per-object jitted steps over shared params."""
@@ -100,10 +129,15 @@ def main(scene_dirs, refiner_steps=800, scorer_steps=400, out_dir=None):
                          f"({(time.time()-t0)/max(len(losses),1):.2f}s/step)")
         return params
 
+    import jax.numpy as jnp
+
     if refiner_steps > 0:
         logging.info(f"training refiner for {refiner_steps} steps on {len(objects)} object(s)")
         rmodel = RefineNet(c_in=6)
-        rts = [RefinerTrainer(rmodel, a, K, d, cfg) for a, K, d in objects]
+        dummy = jnp.zeros((1, *cfg.input_hw, 6), dtype=jnp.float32)
+        r_init = restore_init("refiner", rmodel, (dummy, dummy))
+        rts = [RefinerTrainer(rmodel, a, K, d, cfg, params=r_init)
+               for a, K, d in objects]
         for t in rts[1:]:
             t.params, t.opt_state = rts[0].params, rts[0].opt_state
         save_params(os.path.join(out_dir, "refiner"),
@@ -111,9 +145,13 @@ def main(scene_dirs, refiner_steps=800, scorer_steps=400, out_dir=None):
 
     if scorer_steps > 0:
         logging.info(f"training scorer for {scorer_steps} steps")
-        scfg = cfg._replace(n_hypotheses=12, lr=3e-4)
+        scfg = cfg._replace(n_hypotheses=12,
+                            lr=float(os.environ.get("SCORER_LR", "3e-4")))
         smodel = ScoreNetMultiPair(c_in=6)
-        sts = [ScorerTrainer(smodel, a, K, d, scfg) for a, K, d in objects]
+        sdummy = jnp.zeros((scfg.n_hypotheses, *cfg.input_hw, 6), dtype=jnp.float32)
+        s_init = restore_init("scorer", smodel, (sdummy, sdummy, scfg.n_hypotheses))
+        sts = [ScorerTrainer(smodel, a, K, d, scfg, params=s_init)
+               for a, K, d in objects]
         for t in sts[1:]:
             t.params, t.opt_state = sts[0].params, sts[0].opt_state
         save_params(os.path.join(out_dir, "scorer"),
