@@ -18,3 +18,15 @@ def force_cpu(n_devices=None):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+
+def enable_compile_cache(cache_dir="/tmp/jax_compile_cache", min_secs=1.0):
+    """Point JAX at the persistent XLA compile cache every long-running tool
+    shares.  The fused pipeline programs take minutes to compile cold; any
+    process that skips this pays that in full (the round-3 object-field
+    campaigns each burned ~10 min recompiling a program other tools had
+    already built)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", min_secs)

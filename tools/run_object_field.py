@@ -31,9 +31,10 @@ def main(scene_dir, out_mesh=None, steps=1000, resolution=128):
     )
     from sixdof_tpu.io.mesh_io import save_mesh
     from sixdof_tpu.io.readers import DataReader
-    from sixdof_tpu.utils import set_logging_format
+    from sixdof_tpu.utils import enable_compile_cache, set_logging_format
 
     set_logging_format()
+    enable_compile_cache()
 
     class Args:
         debug = 0

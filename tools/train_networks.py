@@ -36,9 +36,10 @@ def main(scene_dirs, refiner_steps=800, scorer_steps=400, out_dir=None):
     from sixdof_tpu.parallel.train import (
         RefinerTrainer, ScorerTrainer, TrainConfig, save_params,
     )
-    from sixdof_tpu.utils import set_logging_format
+    from sixdof_tpu.utils import enable_compile_cache, set_logging_format
 
     set_logging_format()
+    enable_compile_cache()
     if isinstance(scene_dirs, str):
         scene_dirs = [scene_dirs]
     out_dir = out_dir or os.path.join(REPO, "weights")
