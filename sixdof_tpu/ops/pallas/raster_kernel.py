@@ -52,7 +52,13 @@ def _kernel(cnt_ref, coef_ref, z_out, tid_out, z_acc, tid_acc, *, C, TILE, W, K,
         px = (pid % W).astype(jnp.float32)
         py = (pid // W).astype(jnp.float32)
 
-        c = coef_ref[0, 0, 0]  # (4C, 3)
+        # operand blocks are component-major (8, 4C) — minor dim 4C is
+        # lane-aligned, so the HBM array is DENSE.  The previous (4C, 3)
+        # layout padded the minor dim 3 -> 128 lanes in HBM (T(8,128)
+        # tiling): a 42x footprint/traffic blowup that OOM'd the banded
+        # path at T=5k x B=252 (27.7 GB for a 650 MB table).  One small
+        # (8,4C)->(4C,8) tile transpose per chunk buys back the layout.
+        c = jnp.transpose(coef_ref[0, 0, 0])  # (4C, 8); cols 0..2 live
         # elementwise plane evaluation: exact fp32 on the VPU.  A dot_general
         # here would multiply in bf16 on the MXU, and thin triangles carry
         # huge coefficients (1/area), so bf16 edge error reaches O(1)
@@ -84,10 +90,13 @@ def _kernel(cnt_ref, coef_ref, z_out, tid_out, z_acc, tid_acc, *, C, TILE, W, K,
 @functools.partial(jax.jit, static_argnames=("H", "W", "tri_chunk", "tile", "interpret"))
 def rasterize_zbuffer_pallas(coef_grouped, H, W, tri_chunk=128, tile=2048, interpret=False,
                              counts=None):
-    """@coef_grouped: (B, K, 4C, 3) grouped plane coefficients, or
-    (B, n_tiles, K, 4C, 3) per-pixel-tile (banded) coefficients — in the
+    """@coef_grouped: (B, K, 8, 4C) grouped plane coefficients, or
+    (B, n_tiles, K, 8, 4C) per-pixel-tile (banded) coefficients — in the
     banded form, pixel tile t only tests its own candidate chunks (the tile
-    size must then equal the band size the binning used).
+    size must then equal the band size the binning used).  Layout is
+    component-major: row j of the (8, 4C) block holds coefficient component
+    j (px, py, const; rows 3..7 zero pad to the sublane tile) for all 4C
+    candidate rows — minor dim 4C keeps the HBM array dense (see _kernel).
     @counts: optional (B, n_tiles) int32 candidate counts per tile; chunks
     beyond a tile's count skip their compute (front-packed padding).
 
@@ -96,10 +105,10 @@ def rasterize_zbuffer_pallas(coef_grouped, H, W, tri_chunk=128, tile=2048, inter
     """
     banded = coef_grouped.ndim == 5
     if not banded:
-        B, K, C4, _ = coef_grouped.shape
+        B, K, _, C4 = coef_grouped.shape
         coef_grouped = coef_grouped[:, None]
     else:
-        B, _, K, C4, _ = coef_grouped.shape
+        B, _, K, _, C4 = coef_grouped.shape
     C = C4 // 4
     P = H * W
     pad = (-P) % tile
@@ -121,7 +130,7 @@ def rasterize_zbuffer_pallas(coef_grouped, H, W, tri_chunk=128, tile=2048, inter
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, 1, C4, 3),
+            pl.BlockSpec((1, 1, 1, 8, C4),
                          (lambda b, t, k, *_: (b, t, k, 0, 0)) if banded
                          else (lambda b, t, k, *_: (b, 0, k, 0, 0))),
         ],
@@ -153,17 +162,21 @@ def rasterize_zbuffer_pallas(coef_grouped, H, W, tri_chunk=128, tile=2048, inter
 
 
 def group_banded(banded_coef, tri_chunk=128):
-    """(B,nb,cap,4,3) banded coefficients -> (B,nb,K,4C,3) grouped rows
-    [all l0 | all l1 | all l2 | all inv_z] per chunk (same layout contract
+    """(B,nb,cap,4,3) banded coefficients -> (B,nb,K,8,4C) component-major
+    grouped blocks; lane r = [all l0 | all l1 | all l2 | all inv_z] candidate
+    rows per chunk, sublane j = coefficient component (same layout contract
     as group_coefficients; padding rows are already never-inside)."""
     B, nb, cap, _, _ = banded_coef.shape
     K = cap // tri_chunk
-    c = banded_coef.reshape(B, nb, K, tri_chunk, 4, 3).transpose(0, 1, 2, 4, 3, 5)
-    return c.reshape(B, nb, K, 4 * tri_chunk, 3)
+    c = banded_coef.reshape(B, nb, K, tri_chunk, 4, 3).transpose(0, 1, 2, 5, 4, 3)
+    c = c.reshape(B, nb, K, 3, 4 * tri_chunk)
+    return jnp.pad(c, ((0, 0), (0, 0), (0, 0), (0, 5), (0, 0)))
 
 
 def group_coefficients(coef, valid, tri_chunk=128):
-    """(B,T,4,3) interleaved + validity -> (B,K,4C,3) grouped for the kernel.
+    """(B,T,4,3) interleaved + validity -> (B,K,8,4C) component-major grouped
+    blocks for the kernel (minor dim 4C keeps the HBM layout dense; the
+    sublane pad 3->8 makes the zero rows explicit instead of hidden tiling).
 
     Invalid/padded triangles get l0 = [0,0,-1] (never inside).
     """
@@ -176,6 +189,7 @@ def group_coefficients(coef, valid, tri_chunk=128):
     )
     coef = jnp.where(valid[..., None, None], coef, never)
     K = (T + pad) // tri_chunk
-    # (B,K,C,4,3) -> per-chunk grouped rows (B,K,4,C,3) -> (B,K,4C,3)
-    c = coef.reshape(B, K, tri_chunk, 4, 3).transpose(0, 1, 3, 2, 4)
-    return c.reshape(B, K, 4 * tri_chunk, 3)
+    # (B,K,C,4,3) -> component-major (B,K,3,4,C) -> (B,K,3,4C) -> pad 3->8
+    c = coef.reshape(B, K, tri_chunk, 4, 3).transpose(0, 1, 4, 3, 2)
+    c = c.reshape(B, K, 3, 4 * tri_chunk)
+    return jnp.pad(c, ((0, 0), (0, 0), (0, 5), (0, 0)))

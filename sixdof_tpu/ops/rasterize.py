@@ -205,12 +205,17 @@ def _attr_plane_table(vertex_attr, faces, z_cam, coef):
     gather cascade dominated render time on TPU; see round-2 notes).
 
     @vertex_attr: (V,D); @coef: (T,4,3) bary planes from _tri_setup.
-    Returns (T+1, 3, D); row T = zeros for tid == -1 misses.
+    Returns (T+1, 3*D) FLAT rows [A(D) | B(D) | C(D)] (attr = A px + B py
+    + C); row T = zeros for tid == -1 misses.  Flat because a (T+1, 3, D)
+    array's (3, D) minor dims tile to (8, 128) in HBM — an ~85x footprint
+    and gather-traffic blowup; the flat row keeps the table dense and the
+    per-pixel gather contiguous.
     """
     a = vertex_attr[faces]  # (T,3,D)
     z = jnp.maximum(z_cam[faces], 1e-12)[..., None]  # (T,3,1)
     planes = jnp.einsum("tkc,tkd->tcd", coef[:, :3, :], a / z)  # (T,3coef,D)
-    return jnp.concatenate([planes, jnp.zeros_like(planes[:1])], axis=0)
+    flat = planes.reshape(planes.shape[0], -1)  # (T, 3D)
+    return jnp.concatenate([flat, jnp.zeros_like(flat[:1])], axis=0)
 
 
 _NEVER_ROW = np.zeros((4, 3), dtype=np.float32)
@@ -366,13 +371,15 @@ def render_batch(
         Replaces the faces/vertex/barycentric per-pixel gather cascade that
         dominated render time on TPU.
 
-        @table: (R,3,D) plane rows (last row = zeros for miss);
+        @table: (R,3D) flat plane rows [A|B|C] (last row = zeros for miss);
         @ids: (P,) row index per pixel; @tid: (H,W) for the alpha mask.
         """
         alpha = (tid >= 0).astype(jnp.float32)
-        g = table[ids]  # (P,3,D) — the single gather
+        g = table[ids]  # (P,3D) — the single gather, one contiguous row
+        D = table.shape[-1] // 3
         zb = zbuf.reshape(-1)
-        attr = (g[:, 0] * px[:, None] + g[:, 1] * py[:, None] + g[:, 2]) * zb[:, None]
+        attr = (g[:, :D] * px[:, None] + g[:, D:2 * D] * py[:, None]
+                + g[:, 2 * D:]) * zb[:, None]
 
         o = n_base
         if mesh.tex is not None:
