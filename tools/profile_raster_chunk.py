@@ -24,29 +24,52 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+_LATENCY = None
+
+
+def readback_latency():
+    """Per-sync tunnel latency: time to pull one scalar back.  Over axon this
+    is ~30-50 ms and dominates any sub-100ms measurement unless subtracted."""
+    global _LATENCY
+    if _LATENCY is None:
+        z = jnp.zeros(())
+        float(z + 0)  # warm the path
+        t0 = time.perf_counter()
+        n = 10
+        for _ in range(n):
+            float(z + 0)
+        _LATENCY = (time.perf_counter() - t0) / n
+    return _LATENCY
+
+
 def timeit_fn(fn, n=5):
-    """fn must return a SCALAR jax array; the float() readback is the sync."""
+    """fn must return a SCALAR jax array; the float() readback is the sync
+    (block_until_ready can return early over the axon tunnel).  The measured
+    per-call readback latency is subtracted so the number is device time."""
+    lat = readback_latency()
     float(fn())  # compile + warm
     t0 = time.perf_counter()
     for _ in range(n):
         s = float(fn())
-    dt = (time.perf_counter() - t0) / n
-    return dt, s
+    dt = (time.perf_counter() - t0) / n - lat
+    return max(dt, 1e-9), s
 
 
 def vpu_peak():
     """Empirical elementwise-FLOP throughput: a chain of fused muls/adds on a
-    VMEM-sized block, long enough to be compute-bound."""
-    x = jnp.ones((512, 2048), jnp.float32)
+    VMEM-sized block, long enough (~500 GFLOP) that the per-sync tunnel
+    latency is noise after subtraction."""
+    x = jnp.ones((1024, 4096), jnp.float32)
 
     @jax.jit
     def chain(x):
-        for _ in range(256):
-            x = x * 1.000001 + 1e-9
-        return x.sum()
+        def body(i, v):
+            return v * 1.000001 + 1e-9
 
-    t, _ = timeit_fn(lambda: chain(x), n=10)
-    flops = 512 * 2048 * 256 * 2
+        return jax.lax.fori_loop(0, 32768, body, x).sum()
+
+    t, _ = timeit_fn(lambda: chain(x), n=3)
+    flops = 1024 * 4096 * 32768 * 2
     return flops / t
 
 
