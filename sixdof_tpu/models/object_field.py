@@ -86,6 +86,34 @@ def init_hash_grid(key, spec: HashGridSpec):
     return jax.random.uniform(key, (total, spec.level_dim), minval=-1e-4, maxval=1e-4)
 
 
+@jax.custom_vjp
+def _lookup(table, idx):
+    """table[idx] with a sort-based backward.
+
+    Plain autodiff of a gather emits scatter-add with DUPLICATE indices in
+    the backward; the TPU lowering of unsorted duplicate scatter serializes.
+    Sorting the cotangent rows by index first and segment-summing
+    (indices_are_sorted) vectorizes the same reduction.  Numerically this
+    only reorders the f32 additions per table row.
+    """
+    return table[idx]
+
+
+def _lookup_fwd(table, idx):
+    return table[idx], (idx, table.shape[0])
+
+
+def _lookup_bwd(res, g):
+    idx, n_rows = res
+    order = jnp.argsort(idx)
+    dt = jax.ops.segment_sum(g[order], idx[order], num_segments=n_rows,
+                             indices_are_sorted=True)
+    return dt, None
+
+
+_lookup.defvjp(_lookup_fwd, _lookup_bwd)
+
+
 def hash_grid_encode(table, x, spec: HashGridSpec):
     """@x: (N,3) in [-1,1] -> (N, n_levels*level_dim) features."""
     x01 = (x + 1.0) / 2.0  # [0,1]
@@ -121,7 +149,7 @@ def hash_grid_encode(table, x, spec: HashGridSpec):
                 * jnp.where(dy, frac[:, 1], 1 - frac[:, 1])
                 * jnp.where(dz, frac[:, 2], 1 - frac[:, 2])
             )
-            level_feats = level_feats + w[:, None] * table[offs[l] + idx]
+            level_feats = level_feats + w[:, None] * _lookup(table, offs[l] + idx)
         feats.append(level_feats)
     return jnp.concatenate(feats, axis=-1)
 
