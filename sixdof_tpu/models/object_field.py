@@ -86,32 +86,15 @@ def init_hash_grid(key, spec: HashGridSpec):
     return jax.random.uniform(key, (total, spec.level_dim), minval=-1e-4, maxval=1e-4)
 
 
-@jax.custom_vjp
 def _lookup(table, idx):
-    """table[idx] with a sort-based backward.
-
-    Plain autodiff of a gather emits scatter-add with DUPLICATE indices in
-    the backward; the TPU lowering of unsorted duplicate scatter serializes.
-    Sorting the cotangent rows by index first and segment-summing
-    (indices_are_sorted) vectorizes the same reduction.  Numerically this
-    only reorders the f32 additions per table row.
-    """
+    """table[idx] — a plain gather; autodiff emits a duplicate-index
+    scatter-add in the backward, which dominates the field train step
+    (~5.5 s of 6.5 s at 2048 rays x 256 samples; measured: fwd-only and
+    grad-without-table are both ~1.0 s).  A sort-based segment-sum backward
+    (argsort cotangents + indices_are_sorted segment_sum) was built and
+    measured SLOWER end-to-end — 128 argsorts of 524k rows cost more than
+    the scatter they replace — so the plain gather stays (r3s4 notes)."""
     return table[idx]
-
-
-def _lookup_fwd(table, idx):
-    return table[idx], (idx, table.shape[0])
-
-
-def _lookup_bwd(res, g):
-    idx, n_rows = res
-    order = jnp.argsort(idx)
-    dt = jax.ops.segment_sum(g[order], idx[order], num_segments=n_rows,
-                             indices_are_sorted=True)
-    return dt, None
-
-
-_lookup.defvjp(_lookup_fwd, _lookup_bwd)
 
 
 def hash_grid_encode(table, x, spec: HashGridSpec):
