@@ -140,13 +140,16 @@ def main(scene_dir, n_frames=None):
 # means a real regression, not noise.  PARITY_ASSERT=1 turns breaches into a
 # non-zero exit.
 THRESHOLDS = {
-    "synth_box": dict(adds_mean_m=0.006, icp_adds_mm=5.0,
-                      defect_surface_median_dist_mm=5.0, rot_err_deg_mean=20.0),
-    "synth_box_sensor": dict(adds_mean_m=0.007, icp_adds_mm=6.0,
-                             defect_surface_median_dist_mm=6.0, rot_err_deg_mean=25.0),
-    "synth_clutter": dict(adds_mean_m=0.011, icp_adds_mm=8.0,
+    # healthy (r3 fine-tuned generalist pair, hybrid): box 2.6mm/2.6deg/
+    # icp 1.7mm; box_sensor 2.6mm/2.3deg/2.1mm; clutter 5.4mm/1.45mm;
+    # clutter_sensor 4.8mm/2.5mm; defects ~2.1mm everywhere
+    "synth_box": dict(adds_mean_m=0.006, icp_adds_mm=4.0,
+                      defect_surface_median_dist_mm=5.0, rot_err_deg_mean=10.0),
+    "synth_box_sensor": dict(adds_mean_m=0.006, icp_adds_mm=5.0,
+                             defect_surface_median_dist_mm=5.0, rot_err_deg_mean=10.0),
+    "synth_clutter": dict(adds_mean_m=0.011, icp_adds_mm=4.0,
                           defect_surface_median_dist_mm=6.0),
-    "synth_clutter_sensor": dict(adds_mean_m=0.014, icp_adds_mm=12.0,
+    "synth_clutter_sensor": dict(adds_mean_m=0.010, icp_adds_mm=6.0,
                                  defect_surface_median_dist_mm=6.0),
 }
 
