@@ -53,6 +53,11 @@ DEFAULT_REFINER_CFG = dict(
     # public FoundationPose refiner normalizers
     trans_normalizer=0.02,
     rot_normalizer=0.3490658503988659,  # 20 deg
+    # visibility substitution (see _make_AB).  MUST match how the checkpoint
+    # was trained (TrainConfig.occ_sub): a net trained with occluders visible
+    # diverges on substituted inputs (measured 11 deg -> 44 deg) and vice
+    # versa.  weights/OCC_SUB marker files flip this at load (predictors).
+    occ_sub=False,
 )
 
 DEFAULT_SCORER_CFG = dict(
@@ -83,10 +88,19 @@ def to_rgb01(rgb):
 
 
 def _make_AB(mesh, poses, rgb01, xyz_map, K, crop_ratio, mesh_diameter, out_hw,
-             normalize_xyz, invalid_z_thresh, backface_cull=False):
+             normalize_xyz, invalid_z_thresh, backface_cull=False, occ_sub=False):
     """Build the (A=render, B=real) 6-channel crop pair for a pose batch.
 
     @rgb01: (H,W,3) in [0,1]; @xyz_map: (H,W,3) camera-frame meters.
+    @occ_sub: visibility substitution for the refiner — pixels where the
+    observed depth is >1 cm NEARER than the hypothesis render are occluder
+    pixels (something sits between camera and object); copying the rendered
+    branch's values into the real branch there makes those pixels carry ZERO
+    pose residual instead of a biased one (the refiner otherwise converges to
+    a fixed point that trades occluder overlap against visible-pixel fit —
+    measured ~11 deg under a 25%-occluder).  Per-pose gate: if the "nearer"
+    fraction is large, the cause is a wrong hypothesis z, not an occluder —
+    substitution would erase the move-closer signal, so it is disabled.
     Returns (A, B, tf_to_crops), NHWC.
     """
     tf_to_crops = compute_crop_window_tf_batch(
@@ -110,6 +124,15 @@ def _make_AB(mesh, poses, rgb01, xyz_map, K, crop_ratio, mesh_diameter, out_hw,
     rend["obs_validB"] = xyzB[..., 2] > invalid_z_thresh
     rend["xyzA_m"] = xyzA - center
     rend["xyzB_m"] = xyzB - center
+    sub = None
+    if occ_sub:
+        validA = xyzA[..., 2] > invalid_z_thresh
+        validB = xyzB[..., 2] > invalid_z_thresh
+        both = validA & validB
+        occ = both & (xyzB[..., 2] < xyzA[..., 2] - 0.01)
+        frac = occ.sum(axis=(1, 2)) / jnp.maximum(both.sum(axis=(1, 2)), 1)
+        gate = (frac > 0.02) & (frac < 0.6)
+        sub = (occ & gate[:, None, None])[..., None]
     if normalize_xyz:
         r = mesh_diameter / 2.0
         invalidA = xyzA[..., 2:3] < invalid_z_thresh
@@ -123,13 +146,17 @@ def _make_AB(mesh, poses, rgb01, xyz_map, K, crop_ratio, mesh_diameter, out_hw,
         xyzB = rend["xyzB_m"]
     A = jnp.concatenate([rgbA, xyzA], axis=-1)
     B = jnp.concatenate([rgbB, xyzB], axis=-1)
+    if sub is not None:
+        # network inputs only: the analytic score's meter-space copies in
+        # `rend` keep the real observations (it has its own visibility model)
+        B = jnp.where(sub, A, B)
     return A, B, tf_to_crops, rend
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("model", "iterations", "out_hw", "normalize_xyz", "trans_rep", "rot_rep",
-                     "backface_cull"),
+                     "backface_cull", "occ_sub"),
 )
 def refine_poses_jit(
     model,
@@ -149,6 +176,7 @@ def refine_poses_jit(
     trans_rep="tracknet",
     rot_rep="axis_angle",
     backface_cull=False,
+    occ_sub=False,
 ):
     """lax.scan of render->compare->update refinement iterations."""
 
@@ -156,6 +184,7 @@ def refine_poses_jit(
         A, B, tf_to_crops, _ = _make_AB(
             mesh, poses, rgb01, xyz_map, K, crop_ratio, mesh_diameter, out_hw,
             normalize_xyz, invalid_z_thresh=0.001, backface_cull=backface_cull,
+            occ_sub=occ_sub,
         )
         out = model.apply({"params": params}, A, B)
         if trans_rep == "tracknet":
@@ -278,7 +307,8 @@ def score_poses_jit(
     static_argnames=("rmodel", "smodel", "prune_to", "coarse_iters", "iterations",
                      "out_hw", "coarse_hw", "normalize_xyz", "trans_rep", "rot_rep",
                      "score_mode", "backface_cull", "prune_schedule",
-                     "score_normalize_xyz", "score_hw", "polish_top", "polish_iters"),
+                     "score_normalize_xyz", "score_hw", "polish_top", "polish_iters",
+                     "occ_sub"),
 )
 def register_pipeline_jit(
     rmodel, rparams, smodel, sparams, mesh: MeshArrays, poses, rgb01, depth, K,
@@ -287,7 +317,7 @@ def register_pipeline_jit(
     normalize_xyz=False, trans_rep="tracknet", rot_rep="axis_angle",
     score_mode="hybrid", backface_cull=False, prune_schedule=None,
     score_crop_ratio=None, score_normalize_xyz=None, score_hw=None,
-    polish_top=0, polish_iters=0,
+    polish_top=0, polish_iters=0, occ_sub=False,
 ):
     """The ENTIRE registration cascade as one device program: coarse refine
     over the full grid -> score -> top-K prune -> full-resolution refine ->
@@ -313,7 +343,7 @@ def register_pipeline_jit(
         return refine_poses_jit(
             rmodel, rparams, mesh, p, rgb01, xyz_map, K, mesh_diameter, crop_ratio,
             trans_normalizer, rot_normalizer, iters, hw, normalize_xyz,
-            trans_rep, rot_rep, backface_cull,
+            trans_rep, rot_rep, backface_cull, occ_sub,
         )
 
     # the scorer may use its own crop/normalization convention (the reference
@@ -376,13 +406,13 @@ def pack_rgbd(rgb_u8, depth_u16):
 @functools.partial(
     jax.jit,
     static_argnames=("model", "iterations", "out_hw", "normalize_xyz", "trans_rep", "rot_rep",
-                     "backface_cull"),
+                     "backface_cull", "occ_sub"),
 )
 def track_pose_jit(
     model, params, mesh: MeshArrays, pose_last, rgbd_u8, K, mesh_diameter,
     crop_ratio, trans_normalizer, rot_normalizer, iterations: int, out_hw=(160, 160),
     normalize_xyz=False, trans_rep="tracknet", rot_rep="axis_angle",
-    backface_cull=False,
+    backface_cull=False, occ_sub=False,
 ):
     """Fused tracking step: depth erode+bilateral -> xyz map -> refine scan.
 
@@ -403,7 +433,7 @@ def track_pose_jit(
     poses = refine_poses_jit(
         model, params, mesh, pose_last, rgb01, xyz_map, K, mesh_diameter, crop_ratio,
         trans_normalizer, rot_normalizer, iterations, out_hw, normalize_xyz,
-        trans_rep, rot_rep, backface_cull,
+        trans_rep, rot_rep, backface_cull, occ_sub,
     )
     return poses, depth
 
@@ -437,6 +467,12 @@ class PoseRefinePredictor(_PredictorBase):
         self.cfg = dict(DEFAULT_REFINER_CFG)
         if cfg:
             self.cfg.update(cfg)
+        if (cfg is None or "occ_sub" not in cfg) and ckpt_dir \
+                and os.path.exists(os.path.join(ckpt_dir, "OCC_SUB")):
+            # checkpoint trained WITH the visibility substitution — inference
+            # must match (see _make_AB occ_sub; marker written by
+            # tools/train_networks.py)
+            self.cfg["occ_sub"] = True
         self.model = RefineNet(
             c_in=self.cfg["c_in"], rot_rep=self.cfg["rot_rep"], dtype=compute_dtype
         )
@@ -480,6 +516,7 @@ class PoseRefinePredictor(_PredictorBase):
             # may serve several FoundationPose instances (different meshes)
             backface_cull=bool(self.cfg.get("backface_cull", False)
                                if backface_cull is None else backface_cull),
+            occ_sub=bool(self.cfg.get("occ_sub", False)),
         )
         vis = None
         if get_vis:

@@ -53,6 +53,12 @@ class TrainConfig(NamedTuple):
     # tools/sensor_model.py; clean-only pairs never see real-sensor artifacts)
     p_sensor: float = 0.0
     sensor_strength: float = 1.0
+    # train with the inference-time visibility substitution (predict.py::
+    # _make_AB occ_sub): pixels where B is >1 cm nearer than A's render get
+    # A's values, so occluders carry zero residual.  MUST match inference —
+    # a net trained with occluders visible diverges on substituted inputs
+    # (measured: clutter 5-deg basin 11 deg -> 44 deg) and vice versa.
+    occ_sub: bool = False
 
 
 def _random_poses(key, n, z_range):
@@ -250,6 +256,16 @@ def make_refiner_batch(key, mesh: MeshArrays, K, mesh_diameter, cfg: TrainConfig
 
     A = jnp.concatenate([rendA["color"], rendA["xyz_map"] - center], axis=-1)
     B = jnp.concatenate([rgbB, xyzB - center], axis=-1)
+    if cfg.occ_sub:
+        # identical rule to predict.py::_make_AB(occ_sub=True): the net must
+        # see at train time exactly what inference will feed it
+        zA = rendA["xyz_map"][..., 2]
+        zB = xyzB[..., 2]
+        both = (zA > 0.001) & (zB > 0.001)
+        occ = both & (zB < zA - 0.01)
+        frac = occ.sum(axis=(1, 2)) / jnp.maximum(both.sum(axis=(1, 2)), 1)
+        gate = (frac > 0.02) & (frac < 0.6)
+        B = jnp.where((occ & gate[:, None, None])[..., None], A, B)
     # targets: egocentric deltas mapping pert -> gt.  The predictor decodes
     # R_corr = exp(tanh(rot)*norm)^T = exp(-tanh(rot)*norm), and the needed
     # correction is R_gt R_pert^T = exp(dw)^T = exp(-dw) -> the pre-transpose

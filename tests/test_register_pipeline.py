@@ -201,3 +201,72 @@ def test_estimater_polish_staged_path(tmp_path):
         results[ptop] = (len(est.poses), est.scores[0])
     assert results[3][0] == results[0][0] + 3  # pool grew by polish_top
     assert results[3][1] >= results[0][1] - 1e-5  # winner never worse
+
+
+def test_occlusion_substitution_semantics():
+    """_make_AB(occ_sub=True): pixels where the observation is >1 cm nearer
+    than the render get the rendered branch's values (zero residual); a
+    global too-near observation (wrong hypothesis z, frac >= 0.6) must NOT
+    be substituted (it is the move-closer signal, not an occluder)."""
+    from sixdof_tpu.models.predict import _make_AB
+
+    arrays, K, poses, rgb01, depth, *_ = _setup()
+    pose = poses[:1]
+    hw = (32, 32)
+
+    # real scene: object at z=0.5 with an "occluder" band at z=0.4 covering
+    # the left third of the image
+    depth_occ = np.asarray(depth).copy()
+    depth_occ[:, :50] = 0.4
+    xyz_map = depth2xyzmap(jnp.asarray(depth_occ), K)
+
+    def ab(occ_sub):
+        return _make_AB(arrays, pose, rgb01, xyz_map, K, 1.2, 0.1, hw,
+                        normalize_xyz=False, invalid_z_thresh=0.001,
+                        occ_sub=occ_sub)
+
+    A0, B0, _, _ = ab(False)
+    A1, B1, _, _ = ab(True)
+    assert np.allclose(np.asarray(A0), np.asarray(A1))
+    zA = np.asarray(A0[..., 5]) + 0.5  # xyz channel is center-subtracted
+    zB = np.asarray(B0[..., 5]) + 0.5
+    occ = (zA > 0.001 + 0.5 - 0.5) & (np.asarray(B0[..., 5]) != 0)
+    occ = (zA > 0.001) & (zB > 0.001) & (zB < zA - 0.01)
+    assert occ.any(), "fixture must actually occlude render pixels"
+    # substituted pixels equal the render branch; untouched pixels unchanged
+    assert np.allclose(np.asarray(B1)[occ], np.asarray(A1)[occ], atol=1e-6)
+    assert np.allclose(np.asarray(B1)[~occ], np.asarray(B0)[~occ], atol=1e-6)
+
+    # wrong-z case: EVERY observed pixel nearer than the render -> gate off
+    xyz_near = depth2xyzmap(jnp.asarray(np.full_like(depth_occ, 0.42)), K)
+    _, B2_off, _, _ = _make_AB(arrays, pose, rgb01, xyz_near, K, 1.2, 0.1, hw,
+                               normalize_xyz=False, invalid_z_thresh=0.001,
+                               occ_sub=False)
+    _, B2_on, _, _ = _make_AB(arrays, pose, rgb01, xyz_near, K, 1.2, 0.1, hw,
+                              normalize_xyz=False, invalid_z_thresh=0.001,
+                              occ_sub=True)
+    assert np.allclose(np.asarray(B2_on), np.asarray(B2_off), atol=1e-6)
+
+
+def test_trainer_occ_sub_matches_inference_rule():
+    """TrainConfig.occ_sub composes B exactly like _make_AB(occ_sub=True):
+    wherever B is >1 cm nearer than A's render (and the per-sample gate is
+    on), B's channels equal A's."""
+    from sixdof_tpu.parallel.train import TrainConfig, make_refiner_batch
+
+    arrays, K, *_ = _setup()
+    kwargs = dict(batch_size=8, input_hw=(32, 32), p_occlusion=1.0)
+    key = jax.random.PRNGKey(3)
+    A0, B0, dt0, dw0 = make_refiner_batch(key, arrays, K, 0.1,
+                                          TrainConfig(occ_sub=False, **kwargs))
+    A1, B1, dt1, dw1 = make_refiner_batch(key, arrays, K, 0.1,
+                                          TrainConfig(occ_sub=True, **kwargs))
+    A0, B0, A1, B1 = map(np.asarray, (A0, B0, A1, B1))
+    # same key -> same scenes/poses/targets; only B's occluded pixels differ
+    assert np.allclose(A0, A1)
+    assert np.allclose(np.asarray(dt0), np.asarray(dt1))
+    assert np.allclose(np.asarray(dw0), np.asarray(dw1))
+    changed = ~np.all(np.isclose(B0, B1, atol=1e-6), axis=-1)
+    assert changed.any(), "p_occlusion=1.0 must substitute somewhere"
+    # every substituted pixel carries the render branch's values
+    assert np.allclose(B1[changed], A1[changed], atol=1e-6)

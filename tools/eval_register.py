@@ -8,6 +8,10 @@ tools/train_networks.py.
 import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+if os.environ.get("EVAL_CPU"):  # CPU probes while the TPU is busy
+    from sixdof_tpu.utils import force_cpu
+
+    force_cpu()
 import numpy as np, jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -42,10 +46,13 @@ xyz_map = depth2xyzmap(depth_f, jnp.asarray(reader.color_K, dtype=jnp.float32))
 rgb01 = jnp.asarray(color, dtype=jnp.float32)/255.0
 K = jnp.asarray(reader.color_K, dtype=jnp.float32)
 
+OCC_SUB = bool(int(os.environ.get("OCC_SUB", "0")))  # A/B the visibility substitution
+
 def refine(poses, iters):
     return np.asarray(refine_poses_jit(ref.model, ref.params, est.mesh_tensors,
         jnp.asarray(poses, dtype=jnp.float32), rgb01, xyz_map, K,
-        float(est.diameter), 1.2, 0.02, 0.3490658503988659, iterations=iters))
+        float(est.diameter), 1.2, 0.02, 0.3490658503988659, iterations=iters,
+        occ_sub=OCC_SUB))
 
 # --- basin test: perturb gt by known angles
 print("=== refiner basin (rot_err before -> after 5 iters) ===")

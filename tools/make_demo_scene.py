@@ -149,15 +149,21 @@ def main(out_dir="demo_data/synth_box", n_frames=6, H=480, W=640, seed=0, varian
     else:
         K_render = K
 
-    if variant == "clutter":
+    if variant in ("clutter", "occl"):
         obj = make_target_part(seed + 1)
         plane = make_scene_plane(textured=True, seed=seed)
         # static fixtures on the plane: two beside the target and ONE between
-        # the camera and the target partially occluding it
+        # the camera and the target partially occluding it.  The 'occl'
+        # variant grows + centers the front occluder so >=40% of the target's
+        # projected pixels are hidden (VERDICT r2 item 5: the scorer/refiner
+        # must survive heavy occlusion, predict_score.py:161-214).
+        heavy = variant == "occl"
+        front = (0.041, -0.010, 0.468) if heavy else (0.045, -0.012, 0.47)
+        front_r = 0.036 if heavy else 0.028
         fixtures = []
         for k, (cx, cy, cz) in enumerate([(0.09, -0.05, 0.60), (-0.10, 0.06, 0.595),
-                                          (0.045, -0.012, 0.47)]):
-            d = make_distractor(seed + 10 + k, radius=0.028 if k == 2 else 0.032)
+                                          front]):
+            d = make_distractor(seed + 10 + k, radius=front_r if k == 2 else 0.032)
             d.vertices = d.vertices + np.array([[cx, cy, cz]])
             fixtures.append(d)
         statics = plane
@@ -256,10 +262,23 @@ def main(out_dir="demo_data/synth_box", n_frames=6, H=480, W=640, seed=0, varian
 
     poses = []
     for i in range(n_frames):
-        # small camera orbit: perturb the object pose per frame
-        delta = euler_matrix(0.015 * i, -0.01 * i, 0.02 * i)
-        delta[:3, 3] = [0.002 * i, 0.001 * i, -0.003 * i]
-        pose = delta @ base_pose
+        if variant == "recon":
+            # reconstruction track: the object spins a full revolution with a
+            # tilt oscillation so every face (incl. poles) is observed — the
+            # view-coverage a model-free fit needs (the reference's YCBInEOAT
+            # videos rotate the object in-hand; bundlesdf/run_nerf.py fits
+            # from such a track).  Rotating in the OBJECT frame keeps the
+            # projected position fixed, so the target stays centered.
+            spin = 2.0 * np.pi * i / n_frames
+            tilt = 0.7 * np.sin(2.0 * np.pi * i / n_frames * 2.0)
+            r_obj = euler_matrix(tilt, spin, 0.3 * np.sin(spin))
+            pose = base_pose @ r_obj
+            pose[:3, 3] = base_pose[:3, 3]
+        else:
+            # small camera orbit: perturb the object pose per frame
+            delta = euler_matrix(0.015 * i, -0.01 * i, 0.02 * i)
+            delta[:3, 3] = [0.002 * i, 0.001 * i, -0.003 * i]
+            pose = delta @ base_pose
         poses.append(pose)
 
         rend_o = render_batch(arrays_scene_obj, jnp.asarray(pose[None], dtype=jnp.float32),
@@ -286,11 +305,13 @@ def main(out_dir="demo_data/synth_box", n_frames=6, H=480, W=640, seed=0, varian
 
         cv2.imwrite(f"{out_dir}/rgb/rgb_{i:04d}.png", (color[..., ::-1] * 255).astype(np.uint8))
         cv2.imwrite(f"{out_dir}/depth/depth_{i:04d}.png", (depth * 1000).astype(np.uint16))
-        if i == 0:
+        if i == 0 or variant == "recon":
+            # recon tracks ship per-frame masks (YCBInEOAT's masks/ contract,
+            # datareader.py:639-646) — the field fit consumes them directly
             mask = (obj_front * 255).astype(np.uint8)
             if sensor:
                 mask = degrade_mask(mask, rng, sensor_strength)
-            cv2.imwrite(f"{out_dir}/masks/0000.png", mask)
+            cv2.imwrite(f"{out_dir}/masks/{i:04d}.png", mask)
         np.savetxt(f"{out_dir}/annotated_poses/{i:04d}.txt", pose.reshape(4, 4))
 
         # scene cloud in mm (depth frame)
@@ -310,7 +331,16 @@ def main(out_dir="demo_data/synth_box", n_frames=6, H=480, W=640, seed=0, varian
 if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "demo_data/synth_box"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 6
-    variant = sys.argv[3] if len(sys.argv) > 3 else ("clutter" if "clutter" in out else "box")
+    if len(sys.argv) > 3:
+        variant = sys.argv[3]
+    elif "occl" in out:
+        variant = "occl"
+    elif "clutter" in out:
+        variant = "clutter"
+    elif "recon" in out:
+        variant = "recon"
+    else:
+        variant = "box"
     sensor = "--sensor" in sys.argv or "sensor" in os.path.basename(out)
     if variant.endswith("_sensor"):
         variant = variant[: -len("_sensor")]

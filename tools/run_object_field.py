@@ -59,10 +59,16 @@ def main(scene_dir, out_mesh=None, steps=1000, resolution=128):
         cam_in_obs.append(np.linalg.inv(ob_in_cam))
         rgbs.append(color)
         depths.append(depth)
-        # per-frame mask: project frame-0 mask forward is complex; use depth
-        # validity x frame-0 mask for frame 0, object-depth band otherwise
+        # per-frame masks when the scene ships them (YCBInEOAT contract,
+        # datareader.py:639-646); else frame-0 mask / object-depth band
+        mask_path = f"{scene_dir}/masks/{i:04d}.png"
         if i == 0:
             masks.append((mask0 > 0).astype(np.uint8))
+        elif os.path.exists(mask_path):
+            m = cv2.imread(mask_path, -1)
+            if m.ndim == 3:
+                m = m[..., 0]
+            masks.append((m > 0).astype(np.uint8))
         else:
             m = (depth > 0.001) & (np.abs(depth - np.median(depth[mask0 > 0])) < 0.2)
             masks.append(m.astype(np.uint8))

@@ -83,7 +83,8 @@ def main(scene_dirs, refiner_steps=800, scorer_steps=400, out_dir=None):
                       lr=float(os.environ.get("REFINER_LR", "1e-4")),
                       z_range=(0.4, 0.8),
                       p_occlusion=float(os.environ.get("P_OCC", "0.5")),
-                      p_sensor=float(os.environ.get("SENSOR_AUG", "0.5")))
+                      p_sensor=float(os.environ.get("SENSOR_AUG", "0.5")),
+                      occ_sub=bool(int(os.environ.get("OCC_SUB", "0"))))
 
     # INIT_WEIGHTS=weights: fine-tune from an existing checkpoint pair instead
     # of from scratch.  From-scratch refiner runs sit on a long ~2.1-loss
@@ -143,6 +144,11 @@ def main(scene_dirs, refiner_steps=800, scorer_steps=400, out_dir=None):
             t.params, t.opt_state = rts[0].params, rts[0].opt_state
         save_params(os.path.join(out_dir, "refiner"),
                     train_shared(rts, refiner_steps, "refiner"))
+        if cfg.occ_sub:
+            # marker: inference must apply the same visibility substitution
+            # this checkpoint was trained with (predict.py DEFAULT_REFINER_CFG)
+            with open(os.path.join(out_dir, "refiner", "OCC_SUB"), "w") as f:
+                f.write("trained with TrainConfig.occ_sub=True\n")
 
     if scorer_steps > 0:
         logging.info(f"training scorer for {scorer_steps} steps")
