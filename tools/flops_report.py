@@ -121,6 +121,63 @@ def main(scene_dir=None, shorter_side=288):
     out["track_flops"] = flops
     out["track_cost"] = detail
 
+    # ---- per-stage split of the register cascade (VERDICT r3 item 8):
+    # lower each stage of the default bench cascade — 2 coarse refine iters
+    # over the full grid at coarse_hw, coarse score, prune to 64, 3 fine
+    # refine iters at 160, fine score — separately, so the warm register
+    # wall-clock has an attribution and the MFU number a per-stage
+    # denominator.  Stage args mirror register_pipeline_jit's internal calls.
+    import jax.numpy as jnp
+
+    from sixdof_tpu.models.predict import refine_poses_jit, score_poses_jit
+    from sixdof_tpu.ops.geometry import depth2xyzmap
+
+    ref, sc = est.refiner, est.scorer
+    n_hypo = int(len(est.rot_grid))
+    diam = float(est.diameter)
+    K_j = jnp.asarray(reader.color_K, jnp.float32)
+    rgb01 = jnp.asarray(color, jnp.float32) / 255.0
+    xyz_map = depth2xyzmap(jnp.asarray(depth, jnp.float32), K_j)
+    marr = est.mesh_tensors
+    bc = bool(est.backface_cull)
+    chw = est.coarse_hw or (160, 160)
+    fhw = tuple(ref.cfg["input_resize"])
+    shw = tuple(sc.cfg["input_resize"])
+
+    def _poses(k):
+        p = np.tile(np.eye(4, dtype=np.float32)[None], (k, 1, 1))
+        p[:, 2, 3] = 0.55
+        return jnp.asarray(p)
+
+    def _refine_stage(k, iters, hw):
+        return _flops_of(
+            refine_poses_jit,
+            (ref.model, ref.params, marr, _poses(k), rgb01, xyz_map, K_j, diam,
+             float(ref.cfg["crop_ratio"]), float(ref.cfg["trans_normalizer"]),
+             float(ref.cfg["rot_normalizer"]), iters),
+            dict(out_hw=hw, normalize_xyz=bool(ref.cfg["normalize_xyz"]),
+                 trans_rep=ref.cfg["trans_rep"], rot_rep=ref.cfg["rot_rep"],
+                 backface_cull=bc, occ_sub=bool(ref.cfg.get("occ_sub", False))))
+
+    def _score_stage(k, hw):
+        return _flops_of(
+            score_poses_jit,
+            (sc.model, sc.params, marr, _poses(k), rgb01, xyz_map, K_j, diam,
+             float(sc.cfg["crop_ratio"])),
+            dict(out_hw=hw, normalize_xyz=bool(sc.cfg["normalize_xyz"]),
+                 mode=sc.cfg.get("score_mode", "hybrid"), backface_cull=bc))
+
+    stages = {}
+    for name, (fl, detail) in (
+        ("coarse_refine_2it_full_grid", _refine_stage(n_hypo, 2, chw)),
+        ("coarse_score_full_grid", _score_stage(n_hypo, chw)),
+        ("fine_refine_3it_top64", _refine_stage(64, 3, fhw)),
+        ("fine_score_top64", _score_stage(64, shw)),
+    ):
+        stages[name] = {"flops": fl, **detail}
+    out["register_stages"] = stages
+    out["register_stage_sum_flops"] = sum(s["flops"] for s in stages.values())
+
     path = os.path.join(REPO, "FLOPS.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
