@@ -86,55 +86,73 @@ def init_hash_grid(key, spec: HashGridSpec):
     return jax.random.uniform(key, (total, spec.level_dim), minval=-1e-4, maxval=1e-4)
 
 
-def _lookup(table, idx):
-    """table[idx] — a plain gather; autodiff emits a duplicate-index
-    scatter-add in the backward, which dominates the field train step
-    (~5.5 s of 6.5 s at 2048 rays x 256 samples; measured: fwd-only and
-    grad-without-table are both ~1.0 s).  A sort-based segment-sum backward
-    (argsort cotangents + indices_are_sorted segment_sum) was built and
-    measured SLOWER end-to-end — 128 argsorts of 524k rows cost more than
-    the scatter they replace — so the plain gather stays (r3s4 notes)."""
-    return table[idx]
+def hash_grid_indices(x, spec: HashGridSpec):
+    """All (level, corner) table indices + trilinear weights in one shot.
+
+    @x: (N,3) in [-1,1] -> idx (8, L, N) int32 into the GLOBAL table (level
+    offsets folded in), w (8, L, N) float32 trilinear weights.
+
+    Vectorized over levels AND corners so the whole encode is ONE gather —
+    and, crucially, its autodiff backward is ONE scatter-add per feature
+    column instead of the 128 per-(level,corner) scatters the old unrolled
+    loop emitted (that unrolled graph compiled in ~520 s and its backward
+    ran ~5.5 s/step at 2048 rays x 256 samples; r3s4 notes).
+
+    Layout is corner/level-major with N MINOR on purpose: TPU tiling pads
+    the minor (lane) dim to 128, so (N, L, 8)/(N, L, 3) layouts blow every
+    intermediate up 16-42x and the fwd graph alone OOMs HBM at compile time
+    (measured: 17.1 G > 15.75 G at N=524288).  With N minor nothing pads.
+    """
+    L = spec.n_levels
+    res = np.array([spec.level_res(l) for l in range(L)], np.int32)
+    size = np.array([spec.level_size(l) for l in range(L)], np.uint32)
+    dense = np.array([(int(r) + 1) ** 3 <= int(s) for r, s in zip(res, size)])
+    offs = np.array(spec.offsets[:-1], np.int32)
+
+    x01 = (x + 1.0) / 2.0  # [0,1], (N,3)
+    cds, ws = [], []
+    for d in range(3):  # 3 host-unrolled coord channels, each (L,N)/(2,L,N)
+        pos = jnp.asarray(res, x.dtype)[:, None] * x01[:, d][None, :]  # (L,N)
+        p0 = jnp.floor(pos).astype(jnp.int32)
+        frac = pos - p0
+        p0 = jnp.clip(p0, 0, jnp.asarray(res - 1, jnp.int32)[:, None])
+        cds.append(jnp.stack([p0, p0 + 1]))       # (2,L,N) corner coords
+        ws.append(jnp.stack([1.0 - frac, frac]))  # (2,L,N) corner weights
+
+    # corner c in 0..7 selects bit (c>>d)&1 of coordinate d
+    sel = np.array([[(c >> d) & 1 for c in range(8)] for d in range(3)])  # (3,8)
+    cx, cy, cz = (cds[d][sel[d]] for d in range(3))  # each (8,L,N)
+    w = ws[0][sel[0]] * ws[1][sel[1]] * ws[2][sel[2]]  # (8,L,N)
+
+    res1 = jnp.asarray(res + 1, jnp.int32)[None, :, None]  # (1,L,1)
+    dense_idx = (cx * res1 + cy) * res1 + cz  # garbage where hashed (masked)
+    hash_idx = (
+        cx.astype(jnp.uint32) * jnp.uint32(_PRIMES[0])
+        ^ cy.astype(jnp.uint32) * jnp.uint32(_PRIMES[1])
+        ^ cz.astype(jnp.uint32) * jnp.uint32(_PRIMES[2])
+    ) % jnp.asarray(size, jnp.uint32)[None, :, None]
+    idx = jnp.where(jnp.asarray(dense)[None, :, None], dense_idx,
+                    hash_idx.astype(jnp.int32))
+    idx = idx + jnp.asarray(offs, jnp.int32)[None, :, None]
+    return idx, w
 
 
 def hash_grid_encode(table, x, spec: HashGridSpec):
-    """@x: (N,3) in [-1,1] -> (N, n_levels*level_dim) features."""
-    x01 = (x + 1.0) / 2.0  # [0,1]
-    offs = spec.offsets
-    feats = []
-    for l in range(spec.n_levels):
-        res = spec.level_res(l)
-        size = spec.level_size(l)
-        dense = (res + 1) ** 3 <= size
-        pos = x01 * res
-        p0 = jnp.floor(pos).astype(jnp.int32)
-        frac = pos - p0
-        p0 = jnp.clip(p0, 0, res - 1)
+    """@x: (N,3) in [-1,1] -> (N, n_levels*level_dim) features.
 
-        level_feats = 0.0
-        for corner in range(8):
-            dx = (corner >> 0) & 1
-            dy = (corner >> 1) & 1
-            dz = (corner >> 2) & 1
-            c = p0 + jnp.array([dx, dy, dz], dtype=jnp.int32)
-            if dense:
-                idx = (c[:, 0] * (res + 1) + c[:, 1]) * (res + 1) + c[:, 2]
-            else:
-                cu = c.astype(jnp.uint32)
-                idx = (
-                    cu[:, 0] * jnp.uint32(_PRIMES[0])
-                    ^ cu[:, 1] * jnp.uint32(_PRIMES[1])
-                    ^ cu[:, 2] * jnp.uint32(_PRIMES[2])
-                ) % jnp.uint32(size)
-                idx = idx.astype(jnp.int32)
-            w = (
-                jnp.where(dx, frac[:, 0], 1 - frac[:, 0])
-                * jnp.where(dy, frac[:, 1], 1 - frac[:, 1])
-                * jnp.where(dz, frac[:, 2], 1 - frac[:, 2])
-            )
-            level_feats = level_feats + w[:, None] * _lookup(table, offs[l] + idx)
-        feats.append(level_feats)
-    return jnp.concatenate(feats, axis=-1)
+    One gather per feature column + weighted corner sum (instant-NGP
+    semantics, torch_ngp_grid_encoder/gridencoder.cu:96); backward is one
+    duplicate-index scatter-add per column into the table.  All big
+    intermediates are (8, L, N) with N minor — see hash_grid_indices."""
+    idx, w = hash_grid_indices(x, spec)
+    outs = []
+    for f in range(spec.level_dim):  # (total,)[(8,L,N)] -> (8,L,N)
+        col = jnp.sum(w * table[:, f][idx], axis=0)  # (L,N)
+        outs.append(col)
+    # (level_dim, L, N) -> (N, L, level_dim) -> (N, out_dim); only this final
+    # transpose touches a small-minor layout and it is the MLP's input anyway
+    out = jnp.stack(outs)  # (level_dim, L, N)
+    return jnp.transpose(out, (2, 1, 0)).reshape(x.shape[0], spec.out_dim)
 
 
 # ------------------------------------------------------------ SH encoding --
