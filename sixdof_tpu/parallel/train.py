@@ -59,6 +59,13 @@ class TrainConfig(NamedTuple):
     # a net trained with occluders visible diverges on substituted inputs
     # (measured: clutter 5-deg basin 11 deg -> 44 deg) and vice versa.
     occ_sub: bool = False
+    # scorer only: weight of the listwise distillation term against the
+    # analytic depth/color teacher (predict.py::_depth_alignment_score).
+    # The teacher is a computable function of the net's own (A, B) inputs —
+    # imitating a realizable feature extractor is far better conditioned
+    # than discovering texture-flip discrimination from sparse ADD labels
+    # (six r3 campaigns failed at the latter; PROGRESS_NOTES ablation table).
+    w_distill: float = 0.0
 
 
 def _random_poses(key, n, z_range):
@@ -355,7 +362,22 @@ def make_scorer_batch(key, mesh: MeshArrays, K, mesh_diameter, cfg: TrainConfig,
     vg = jnp.einsum("lij,vj->lvi", gt[:, :3, :3], mesh.pos) + gt[:, None, :3, 3]
     add = jnp.linalg.norm(vh - vg, axis=-1).mean(axis=-1)  # (ns*L,)
     target = (-add / (0.1 * mesh_diameter)).reshape(n_scenes, L)
-    return A, B, target
+
+    # analytic teacher on the SAME degraded observations the net sees
+    # (occluder + sensor artifacts included): occlusion-aware depth support
+    # + color agreement on supporting pixels — the hybrid scorer's analytic
+    # term (predict.py::_depth_alignment_score), listwise per scene
+    from ..models.predict import _depth_alignment_score
+
+    rend_t = {
+        "alpha": rendA["alpha"],
+        "xyzA_m": rendA["xyz_map"] - center,
+        "xyzB_m": xyzB - center,
+        "obs_validB": xyzB[..., 2] > 0.1,
+    }
+    teacher = _depth_alignment_score(A, B, rend_t, hyp, mesh_diameter)
+    teacher = teacher.reshape(n_scenes, L)
+    return A, B, target, teacher
 
 
 def _self_biased_cross_attention_init(params):
@@ -388,18 +410,28 @@ def _self_biased_cross_attention_init(params):
     return params
 
 
-def scorer_loss(model, params, A, B, target):
-    """Listwise ranking CE + direct regression on the ADD proxy.
+def scorer_loss(model, params, A, B, target, teacher=None, w_distill=0.0):
+    """Listwise ranking CE + direct regression on the ADD proxy
+    (+ optional analytic-teacher distillation).
 
     The regression term provides per-hypothesis gradient signal even while
     the logits are still nearly identical (early training), where softmax CE
-    alone is ~flat; @target: (n_scenes, L) = -ADD/(0.1*diameter)."""
+    alone is ~flat; @target: (n_scenes, L) = -ADD/(0.1*diameter).
+    @teacher: (n_scenes, L) analytic depth/color scores; the distillation
+    term is listwise CE against softmax(teacher * T) — T=10 sharpens the
+    O(0.1-1) analytic margins into a peaked distribution without collapsing
+    ties (VERDICT r3 item 3: distill what the net cannot discover)."""
     ns, L = target.shape
     out = model.apply({"params": params}, A, B, L=L)
     logits = out["score_logit"].reshape(ns, L)
     ce = -jnp.mean(jnp.sum(jax.nn.softmax(target) * jax.nn.log_softmax(logits), axis=-1))
     reg = jnp.mean((logits - target) ** 2)
-    return ce + 0.3 * reg
+    loss = ce + 0.3 * reg
+    if teacher is not None and w_distill > 0:
+        soft = jax.nn.softmax(jax.lax.stop_gradient(teacher) * 10.0)
+        kd = -jnp.mean(jnp.sum(soft * jax.nn.log_softmax(logits), axis=-1))
+        loss = loss + w_distill * kd
+    return loss
 
 
 _TX_CACHE = {}
@@ -448,14 +480,14 @@ def _refiner_step(params, opt_state, key, mesh_arrays, K, diam, *, model, cfg, t
 )
 def _scorer_step(params, opt_state, key, mesh_arrays, K, diam, *, model, cfg, tx,
                  device_mesh=None):
-    A, B, target = make_scorer_batch(key, mesh_arrays, K, diam, cfg, n_scenes=4)
+    A, B, target, teacher = make_scorer_batch(key, mesh_arrays, K, diam, cfg, n_scenes=4)
     if device_mesh is not None:
         sh = data_sharding(device_mesh)
         A = jax.lax.with_sharding_constraint(A, sh)
         B = jax.lax.with_sharding_constraint(B, sh)
 
     def loss_fn(p):
-        return scorer_loss(model, p, A, B, target)
+        return scorer_loss(model, p, A, B, target, teacher, cfg.w_distill)
 
     loss, grads = jax.value_and_grad(loss_fn)(params)
     updates, opt_state = tx.update(grads, opt_state, params)

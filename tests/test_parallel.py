@@ -220,8 +220,10 @@ def test_refiner_batch_with_sensor_augmentation():
     assert np.abs(np.asarray(B1) - np.asarray(B0)).max() > 1e-3  # B degraded
     assert np.isfinite(np.asarray(B1)).all()
 
-    sA0, sB0, st0 = make_scorer_batch(key, arrays, K, 0.1, cfg0, n_scenes=2)
-    sA1, sB1, st1 = make_scorer_batch(key, arrays, K, 0.1, cfg1, n_scenes=2)
+    sA0, sB0, st0, steach0 = make_scorer_batch(key, arrays, K, 0.1, cfg0, n_scenes=2)
+    sA1, sB1, st1, steach1 = make_scorer_batch(key, arrays, K, 0.1, cfg1, n_scenes=2)
     np.testing.assert_array_equal(np.asarray(sA1), np.asarray(sA0))
     np.testing.assert_array_equal(np.asarray(st1), np.asarray(st0))
     assert np.abs(np.asarray(sB1) - np.asarray(sB0)).max() > 1e-3
+    # the analytic teacher scores the DEGRADED observation, so it shifts
+    assert np.isfinite(np.asarray(steach0)).all() and np.isfinite(np.asarray(steach1)).all()

@@ -152,8 +152,11 @@ def main(scene_dirs, refiner_steps=800, scorer_steps=400, out_dir=None):
 
     if scorer_steps > 0:
         logging.info(f"training scorer for {scorer_steps} steps")
+        # DISTILL: listwise analytic-teacher distillation weight (campaign #7
+        # of the network-only-scorer ablation — VERDICT r3 item 3)
         scfg = cfg._replace(n_hypotheses=12,
-                            lr=float(os.environ.get("SCORER_LR", "3e-4")))
+                            lr=float(os.environ.get("SCORER_LR", "3e-4")),
+                            w_distill=float(os.environ.get("DISTILL", "0")))
         smodel = ScoreNetMultiPair(c_in=6)
         sdummy = jnp.zeros((scfg.n_hypotheses, *cfg.input_hw, 6), dtype=jnp.float32)
         s_init = restore_init("scorer", smodel, (sdummy, sdummy, scfg.n_hypotheses))
