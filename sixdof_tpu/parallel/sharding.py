@@ -81,6 +81,39 @@ def pad_hypotheses(poses, mesh):
     return poses, n
 
 
+def shard_restarts(init_tfs, max_dists, mesh):
+    """Shard the ICP random-restart axis (SURVEY.md §2.3 "hypothesis axis")
+    over `data`: pad to a multiple of the data axis by repeating the last
+    restart (duplicates converge identically; callers slice fit/rmse/tf back
+    to n).  Each restart's point-to-plane solve reads the replicated clouds,
+    so GSPMD runs the restarts collective-free until the best-pick argmin."""
+    import jax.numpy as jnp
+
+    n = init_tfs.shape[0]
+    m = mesh.shape["data"]
+    pad = (-n) % m
+    if pad:
+        init_tfs = jnp.concatenate([init_tfs, jnp.broadcast_to(init_tfs[-1:], (pad, 4, 4))])
+        max_dists = jnp.concatenate([max_dists, jnp.broadcast_to(max_dists[-1:], (pad,))])
+    sh = data_sharding(mesh)
+    return jax.device_put(init_tfs, sh), jax.device_put(max_dists, sh), n
+
+
+def shard_rays(dirs, mask, mesh):
+    """Shard the defect-ray axis over `data`: pad with masked-off rays (the
+    raytrace returns +inf for them) and place both arrays sharded."""
+    import jax.numpy as jnp
+
+    n = dirs.shape[0]
+    m = mesh.shape["data"]
+    pad = (-n) % m
+    if pad:
+        dirs = jnp.concatenate([dirs, jnp.zeros((pad, 3), dirs.dtype)])
+        mask = jnp.concatenate([mask, jnp.zeros((pad,), mask.dtype)])
+    sh = data_sharding(mesh)
+    return jax.device_put(dirs, sh), jax.device_put(mask, sh), n
+
+
 def shard_hypotheses(poses, mesh):
     """Place a (N,4,4) hypothesis batch sharded over the `data` axis.
 

@@ -227,3 +227,62 @@ def test_refiner_batch_with_sensor_augmentation():
     assert np.abs(np.asarray(sB1) - np.asarray(sB0)).max() > 1e-3
     # the analytic teacher scores the DEGRADED observation, so it shifts
     assert np.isfinite(np.asarray(steach0)).all() and np.isfinite(np.asarray(steach1)).all()
+
+
+def test_sharded_capture_event_matches_single_device():
+    """improve_and_raytrace with the ICP restart axis AND the defect-ray axis
+    sharded over `data` must match single-device (VERDICT r3 item 7;
+    SURVEY.md §2.3 "shard the hypothesis axis / ray batches")."""
+    from sixdof_tpu.ops.icp import improve_and_raytrace
+
+    r = np.random.RandomState(3)
+    xy = r.uniform(-0.06, 0.06, (300, 2))
+    tgt = np.concatenate([xy, 0.002 * np.sin(40 * xy[:, :1])], axis=-1).astype(np.float32)
+    tgt_n = np.tile(np.array([[0.0, 0.0, 1.0]], np.float32), (300, 1))
+    ang = 0.03
+    Rz = np.array([[np.cos(ang), -np.sin(ang), 0], [np.sin(ang), np.cos(ang), 0],
+                   [0, 0, 1]], np.float32)
+    src = (tgt @ Rz.T + np.array([0.004, -0.003, 0.002], np.float32)).astype(np.float32)
+    ones = np.ones((300,), bool)
+
+    n_restarts = 11  # not divisible by 8: pads by repeating the last restart
+    init_tfs = np.tile(np.eye(4, dtype=np.float32)[None], (n_restarts, 1, 1))
+    init_tfs[:, :3, 3] = r.normal(0, 0.002, (n_restarts, 3))
+    max_dists = np.full((n_restarts,), 0.02, np.float32)
+
+    # one triangle square in front of the camera + rays toward it
+    tri = np.array([[[-0.1, -0.1, 0.5], [0.1, -0.1, 0.5], [0.1, 0.1, 0.5]],
+                    [[-0.1, -0.1, 0.5], [0.1, 0.1, 0.5], [-0.1, 0.1, 0.5]]], np.float32)
+    tri_mask = np.ones((2,), bool)
+    n_rays = 13  # pads with masked-off rays
+    ray_dirs = r.normal(0, 0.1, (n_rays, 3)).astype(np.float32)
+    ray_dirs[:, 2] = 1.0
+    ray_mask = np.ones((n_rays,), bool)
+
+    def run(tfs, mds, rd, rm):
+        return improve_and_raytrace(
+            jnp.asarray(src), jnp.asarray(ones), jnp.asarray(tgt),
+            jnp.asarray(tgt_n), jnp.asarray(ones), tfs, mds,
+            jnp.eye(4, dtype=jnp.float32), jnp.float32(0.02),
+            jnp.asarray(tri), jnp.asarray(tri_mask), rd, rm,
+            jnp.eye(4, dtype=jnp.float32), max_iter=8)
+
+    tf1, fit1, rmse1, best1, th1 = run(
+        jnp.asarray(init_tfs), jnp.asarray(max_dists),
+        jnp.asarray(ray_dirs), jnp.asarray(ray_mask))
+
+    mesh = sh.make_mesh(n_data=8, n_model=1)
+    s_tfs, s_mds, nr = sh.shard_restarts(jnp.asarray(init_tfs), jnp.asarray(max_dists), mesh)
+    s_rd, s_rm, nray = sh.shard_rays(jnp.asarray(ray_dirs), jnp.asarray(ray_mask), mesh)
+    assert nr == n_restarts and s_tfs.shape[0] == 16
+    assert nray == n_rays and s_rd.shape[0] == 16
+    tf2, fit2, rmse2, best2, th2 = run(s_tfs, s_mds, s_rd, s_rm)
+
+    np.testing.assert_allclose(np.asarray(tf2)[:nr], np.asarray(tf1)[:nr], atol=2e-4)
+    np.testing.assert_allclose(np.asarray(fit2)[:nr], np.asarray(fit1)[:nr], atol=1e-5)
+    # padded duplicates may win argmin ties: the SELECTED pose must match
+    np.testing.assert_allclose(np.asarray(tf2)[int(best2)], np.asarray(tf1)[int(best1)],
+                               atol=2e-4)
+    hits1 = np.asarray(th1)[:nray]
+    np.testing.assert_allclose(np.asarray(th2)[:nray], hits1, atol=1e-4)
+    assert np.isfinite(hits1).any()
