@@ -7,8 +7,7 @@ jitted batch synthesis (parallel/train.py) — per-sample randomized:
 
 RGB   — exposure gain, gamma, white-balance error, blended 5x5 blur,
         shot + read noise, uint8 quantization.
-XYZ/z — range-dependent axial noise, edge dropout (invalid -> 0), flying
-        pixels (z mixed between local near/far surfaces along the pixel ray),
+XYZ/z — range-dependent axial noise, edge dropout (invalid -> 0),
         low-frequency blob holes.
 
 Approximation notes vs the host model: blur is one fixed-sigma kernel blended
@@ -16,6 +15,13 @@ per-sample (per-sample sigmas would need per-sample kernels); holes come from
 a thresholded low-frequency noise field instead of rasterized circles.  Both
 preserve the statistics that matter (local smoothing level, contiguous
 invalid blobs).
+
+**Held-out eval-only families (r3 verdict item 6).**  The train-time family
+is deliberately a strict subset of the eval sensor model
+(tools/sensor_model.py): flying pixels, calibration error, mask error, and
+the sequence-level artifacts (exposure drift, motion blur) are NEVER
+synthesized here, so robustness numbers on the *_sensor scenes measure
+generalization beyond the training distribution, not memorization of it.
 """
 from __future__ import annotations
 
@@ -78,7 +84,7 @@ def degrade_xyz_batch(key, xyz, strength=1.0):
     error does.
     """
     N, H, W = xyz.shape[:3]
-    kax, ku, kfly, khole, kth = jax.random.split(key, 5)
+    kax, ku, khole, kth = jax.random.split(key, 4)
     z = xyz[..., 2]
     valid = z > 1e-6
 
@@ -87,18 +93,13 @@ def degrade_xyz_batch(key, xyz, strength=1.0):
     z_noisy = z + jax.random.normal(kax, z.shape) * sigma
 
     # discontinuities: invalid treated as far so object/background borders
-    # and object/invalid borders both count
+    # and object/invalid borders both count.  NOTE: only dropout here —
+    # flying pixels are a held-out eval-only family (module docstring).
     big = jnp.where(valid, z, 1e3)  # invalid = "far": valid/invalid borders count
     edge = (_pool(big, "max", 3) - _pool(big, "min", 3)) > 0.012
     u = jax.random.uniform(ku, z.shape)
     drop = edge & valid & (u < 0.40 * strength)
-    fly = edge & valid & (u > 1.0 - 0.12 * strength)
-    zmin5 = _pool(big, "min", 5)
-    zmax5 = _pool(jnp.where(valid, z, 0.0), "max", 5)
-    alpha = jax.random.uniform(kfly, z.shape)
-    z_fly = zmin5 * alpha + zmax5 * (1.0 - alpha)
-    fly_ok = fly & (z_fly > 1e-6) & (z_fly < 999.0)
-    z_new = jnp.where(fly_ok, z_fly, z_noisy)
+    z_new = z_noisy
 
     # blob holes: thresholded low-frequency field (8x8 noise upsampled)
     field = jax.random.uniform(khole, (N, 8, 8))

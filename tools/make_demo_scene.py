@@ -260,6 +260,13 @@ def main(out_dir="demo_data/synth_box", n_frames=6, H=480, W=640, seed=0, varian
     arrays_scene_obj = make_mesh_arrays(obj)
     arrays_plane = make_mesh_arrays(statics)
 
+    if sensor:
+        # sequence-level artifacts (eval-only families, sensor_model.py
+        # docstring): auto-exposure drift + inter-frame motion blur
+        from sensor_model import motion_blur_rgb, sequence_drift
+
+        drift_gains = sequence_drift(n_frames, rng, sensor_strength)
+    prev_uv = None
     poses = []
     for i in range(n_frames):
         if variant == "recon":
@@ -295,6 +302,14 @@ def main(out_dir="demo_data/synth_box", n_frames=6, H=480, W=640, seed=0, varian
         if sensor:
             from sensor_model import degrade_depth, degrade_mask, degrade_rgb
 
+            # optical chain order: motion blur (shutter), exposure drift
+            # (gain), then per-frame noise/quantization
+            uvw_i = K_render @ pose[:3, 3]
+            uv_i = uvw_i[:2] / uvw_i[2]
+            if prev_uv is not None:
+                color = motion_blur_rgb(color, uv_i - prev_uv, sensor_strength)
+            prev_uv = uv_i
+            color = np.clip(color * drift_gains[i], 0.0, 1.0)
             depth = degrade_depth(depth, rng, sensor_strength)
             color = degrade_rgb(color, rng, sensor_strength)
         else:
