@@ -137,18 +137,54 @@ def hash_grid_indices(x, spec: HashGridSpec):
     return idx, w
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _lookup_col(spec: HashGridSpec, table_col, idx, w):
+    """sum_c w_c * table_col[idx_c] with a hand-written backward.
+
+    Autodiff of the gather emits (a) a 67M-row re-gather for d_w and (b) one
+    global duplicate-index scatter-add for d_table.  Both are replaced: the
+    forward-gathered values are SAVED as residuals (d_w = g * cot, no
+    gather), and d_table scatters PER LEVEL into each level's own index
+    space — measured 0.52 s vs 0.76 s for the global scatter at the
+    campaign's 67M-update scale (tools/exp_scatter.py; the duplicate-index
+    scatter is the TPU stand-in for torch-ngp's atomicAdd,
+    gridencoder.cu:248)."""
+    return jnp.sum(w * table_col[idx], axis=0)  # (L,N)
+
+
+def _lookup_col_fwd(spec, table_col, idx, w):
+    g = table_col[idx]  # (8,L,N) — residual: kills both backward gathers
+    return jnp.sum(w * g, axis=0), (g, idx, w)
+
+
+def _lookup_col_bwd(spec, res, cot):
+    g, idx, w = res  # (8,L,N) each; cot (L,N)
+    upd = w * cot[None]
+    d_w = g * cot[None]
+    offs = spec.offsets
+    parts = []
+    for l in range(spec.n_levels):
+        li = idx[:, l].reshape(-1) - offs[l]
+        parts.append(jnp.zeros((spec.level_size(l),), g.dtype).at[li].add(
+            upd[:, l].reshape(-1)))
+    d_table = jnp.concatenate(parts)
+    d_idx = np.zeros(idx.shape, jax.dtypes.float0)  # int arg: zero-size tangent
+    return d_table, d_idx, d_w
+
+
+_lookup_col.defvjp(_lookup_col_fwd, _lookup_col_bwd)
+
+
 def hash_grid_encode(table, x, spec: HashGridSpec):
     """@x: (N,3) in [-1,1] -> (N, n_levels*level_dim) features.
 
     One gather per feature column + weighted corner sum (instant-NGP
     semantics, torch_ngp_grid_encoder/gridencoder.cu:96); backward is one
-    duplicate-index scatter-add per column into the table.  All big
-    intermediates are (8, L, N) with N minor — see hash_grid_indices."""
+    per-level duplicate-index scatter-add per column into the table
+    (_lookup_col custom vjp).  All big intermediates are (8, L, N) with N
+    minor — see hash_grid_indices."""
     idx, w = hash_grid_indices(x, spec)
-    outs = []
-    for f in range(spec.level_dim):  # (total,)[(8,L,N)] -> (8,L,N)
-        col = jnp.sum(w * table[:, f][idx], axis=0)  # (L,N)
-        outs.append(col)
+    outs = [_lookup_col(spec, table[:, f], idx, w) for f in range(spec.level_dim)]
     # (level_dim, L, N) -> (N, L, level_dim) -> (N, out_dim); only this final
     # transpose touches a small-minor layout and it is the MLP's input anyway
     out = jnp.stack(outs)  # (level_dim, L, N)

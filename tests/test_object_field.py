@@ -42,6 +42,35 @@ def test_hash_grid_encode_shapes_and_interp():
     assert float(jnp.abs(feats - f2).max()) < 1e-2
 
 
+def test_hash_grid_encode_custom_vjp_matches_autodiff():
+    """The per-level-scatter custom backward (_lookup_col) must produce the
+    same table/x gradients as plain autodiff of the same math."""
+    spec = of.HashGridSpec(n_levels=4, base_res=4, finest_res=16, log2_hashmap_size=10)
+    table = of.init_hash_grid(jax.random.PRNGKey(0), spec)
+    x = jnp.asarray(np.random.RandomState(1).uniform(-0.99, 0.99, (64, 3)).astype(np.float32))
+
+    def plain_encode(table, x):
+        idx, w = of.hash_grid_indices(x, spec)
+        outs = [jnp.sum(w * table[:, f][idx], axis=0) for f in range(spec.level_dim)]
+        return jnp.transpose(jnp.stack(outs), (2, 1, 0)).reshape(x.shape[0], spec.out_dim)
+
+    cot = jnp.asarray(np.random.RandomState(2).randn(64, spec.out_dim).astype(np.float32))
+
+    def loss_custom(t, x):
+        return jnp.sum(of.hash_grid_encode(t, x, spec) * cot)
+
+    def loss_plain(t, x):
+        return jnp.sum(plain_encode(t, x) * cot)
+
+    gt_c, gx_c = jax.grad(loss_custom, argnums=(0, 1))(table, x)
+    gt_p, gx_p = jax.grad(loss_plain, argnums=(0, 1))(table, x)
+    np.testing.assert_allclose(np.asarray(gt_c), np.asarray(gt_p), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx_c), np.asarray(gx_p), atol=1e-4)
+    # values match too
+    np.testing.assert_allclose(np.asarray(of.hash_grid_encode(table, x, spec)),
+                               np.asarray(plain_encode(table, x)), atol=1e-6)
+
+
 def test_sh_encode_constant_and_linear():
     d = jnp.asarray([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0]])
     sh = np.asarray(of.sh_encode(d, degree=3))

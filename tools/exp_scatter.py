@@ -36,7 +36,9 @@ from sixdof_tpu.utils import enable_compile_cache
 
 
 def real_indices(spec, n_pts=524288, seed=0):
-    """Index distribution matching training: points along rays in the box."""
+    """Index distribution matching training: points along rays in the box.
+    Arrays STAY on device — (8,L,N) int32 is 268 MB, a death sentence to pull
+    through the axon tunnel."""
     r = np.random.RandomState(seed)
     o = r.uniform(-0.9, 0.9, (2048, 3)).astype(np.float32)
     d = r.normal(size=(2048, 3)).astype(np.float32)
@@ -45,19 +47,18 @@ def real_indices(spec, n_pts=524288, seed=0):
     pts = (o[:, None] + d[:, None] * t[None, :, None]).reshape(-1, 3)
     pts = np.clip(pts, -0.999, 0.999)
     idx, w = jax.jit(hash_grid_indices, static_argnums=1)(jnp.asarray(pts), spec)
-    return jax.device_get(idx), jax.device_get(w)  # (8,L,N) each
+    return idx, w  # device-resident (8,L,N)
 
 
 def timeit(fn, args, n_iters=8, label=""):
-    """Chained timing: feed each output into the next call, one readback."""
+    """n async dispatches drain serially on device; ONE scalar readback syncs."""
     f = jax.jit(fn)
     out = f(*args)
-    jax.block_until_ready(out)
+    float(jnp.sum(out[:8].astype(jnp.float32)))  # compile + settle
     t0 = time.perf_counter()
-    acc = out
     for _ in range(n_iters):
-        acc = f(*args[:-1], acc * 0 + args[-1] if isinstance(acc, jnp.ndarray) else args[-1])
-    float(jnp.asarray(acc).ravel()[0].astype(jnp.float32))
+        out = f(*args)
+    float(jnp.sum(out[:8].astype(jnp.float32)))
     dt = (time.perf_counter() - t0) / n_iters
     print(json.dumps({label: round(dt, 4)}), flush=True)
     return dt
@@ -69,9 +70,8 @@ def main(n_iters=8):
     for log2 in (22, 19):
         spec = HashGridSpec(log2_hashmap_size=log2)
         total = spec.offsets[-1]
-        idx, w = real_indices(spec)
-        idx_d = jnp.asarray(idx)
-        cot = jnp.asarray(np.random.RandomState(1).randn(*idx.shape).astype(np.float32))
+        idx_d, w = real_indices(spec)
+        cot = jax.random.normal(jax.random.PRNGKey(1), idx_d.shape, jnp.float32)
         flat_idx = idx_d.reshape(-1)
         flat_cot = cot.reshape(-1)
         sizes = [spec.level_size(l) for l in range(spec.n_levels)]
