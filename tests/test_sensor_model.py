@@ -107,3 +107,31 @@ def test_degrade_mask_perturbs_boundary_only(rng):
     # interior and far exterior untouched
     assert (out[40:60, 40:60] == 255).all()
     assert (out[:20] == 0).all()
+
+
+def test_sequence_drift_correlated_and_bounded(rng):
+    from sensor_model import sequence_drift
+
+    g = sequence_drift(200, rng, 1.0)
+    assert g.shape == (200,)
+    assert (g >= 0.7 - 1e-6).all() and (g <= 1.42).all()
+    # temporal correlation: adjacent frames move less than distant ones
+    d1 = np.abs(np.diff(g)).mean()
+    d10 = np.abs(g[10:] - g[:-10]).mean()
+    assert d1 < d10
+
+
+def test_motion_blur_directional(rng):
+    from sensor_model import motion_blur_rgb
+
+    img = np.zeros((40, 40, 3), np.float32)
+    img[20, 20] = 1.0  # point source
+    out = motion_blur_rgb(img, np.array([12.0, 0.0]), 1.0)
+    # energy preserved, spread along x only
+    assert abs(out.sum() - img.sum()) < 1e-3
+    row_spread = (out[:, :, 0].sum(axis=1) > 1e-4).sum()
+    col_spread = (out[:, :, 0].sum(axis=0) > 1e-4).sum()
+    assert col_spread > row_spread  # horizontal streak
+    # sub-pixel motion is a no-op
+    out2 = motion_blur_rgb(img, np.array([0.3, 0.2]), 1.0)
+    np.testing.assert_array_equal(out2, img)
