@@ -785,8 +785,15 @@ class ObjectFieldRunner:
 def run_neural_object_field(cfg: ObjectFieldConfig, K, rgbs, depths, masks, cam_in_obs,
                             resolution=128, train_steps=None):
     """One-call model-free mesh creation (reference run_nerf.py:18-46)."""
+    import time as _time
+
     runner = ObjectFieldRunner(cfg, K, rgbs, depths, masks, cam_in_obs)
-    runner.train(train_steps)
+    t0 = _time.perf_counter()
+    losses = runner.train(train_steps)
+    # train() syncs at the end (loss readback), so this is honest wall time;
+    # recorded on the runner for campaign artifacts (tools/run_object_field)
+    runner.train_seconds = _time.perf_counter() - t0
+    runner.final_loss = float(losses[-1]) if losses else float("nan")
     mesh = runner.extract_mesh(resolution=resolution)
     mesh = runner.color_mesh(mesh)
     mesh = runner.mesh_to_real_world(mesh)

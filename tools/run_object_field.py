@@ -89,7 +89,12 @@ def main(scene_dir, out_mesh=None, steps=1000, resolution=128):
     import json
 
     result = {"scene": os.path.basename(scene_dir.rstrip("/")), "steps": steps,
-              "mesh": out_mesh, "n_vertices": int(len(mesh.vertices))}
+              "mesh": out_mesh, "n_vertices": int(len(mesh.vertices)),
+              "train_s": round(getattr(runner, "train_seconds", -1.0), 1),
+              "step_s": round(getattr(runner, "train_seconds", -1.0) / max(steps, 1), 3),
+              "final_loss": round(getattr(runner, "final_loss", -1.0), 4),
+              "n_rand": int(cfg.n_rand),
+              "n_samples": int(cfg.n_samples + cfg.n_samples_around_depth)}
     gt_path = f"{scene_dir}/mesh/model_scaled_down.obj"
     if os.path.exists(gt_path):
         from sixdof_tpu.io.mesh_io import load_mesh
