@@ -117,17 +117,18 @@ def main(scene_dirs, refiner_steps=800, scorer_steps=400, out_dir=None):
         """Round-robin the per-object jitted steps over shared params."""
         params, opt = trainers[0].params, trainers[0].opt_state
         key = jax.random.PRNGKey(0)
-        losses = []
-        t0 = time.time()
+        losses = []  # device scalars: a float() per step is a blocking host
+        t0 = time.time()  # round-trip that tunnel stalls turn into minutes
         for i in range(n_steps):
             key, sub = jax.random.split(key)
             t = trainers[i % len(trainers)]
             params, opt, loss = t._step(params, opt, sub)
-            losses.append(float(loss))
+            losses.append(loss)
             if i % 50 == 0:
-                logging.info(f"{tag} step {i}: loss {losses[-1]:.5f}")
+                logging.info(f"{tag} step {i}: loss {float(loss):.5f}")
         if losses:
-            logging.info(f"{tag}: {losses[0]:.4f} -> {losses[-1]:.4f} "
+            first, last = float(losses[0]), float(losses[-1])
+            logging.info(f"{tag}: {first:.4f} -> {last:.4f} "
                          f"({(time.time()-t0)/max(len(losses),1):.2f}s/step)")
         return params
 
