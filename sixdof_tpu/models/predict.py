@@ -126,12 +126,21 @@ def _make_AB(mesh, poses, rgb01, xyz_map, K, crop_ratio, mesh_diameter, out_hw,
     rend["xyzB_m"] = xyzB - center
     sub = None
     if occ_sub:
+        # occ_sub is False | True | a float gate ceiling: True keeps the
+        # legacy 0.6 ceiling; a float raises/lowers it.  The ceiling guards
+        # wrong-hypothesis-z recovery (all-nearer observations mean "move
+        # closer", not "occluded") but turning substitution OFF above it
+        # leaves a substitution-trained net out-of-distribution exactly on
+        # heavy occlusion — r4 measured the 0.6-gated occ_sub refiner failing
+        # the 57%-occluded scene it was meant to help; train-time and
+        # inference ceilings MUST match (weights/<run>/OCC_SUB marker).
+        hi = 0.6 if occ_sub is True else float(occ_sub)
         validA = xyzA[..., 2] > invalid_z_thresh
         validB = xyzB[..., 2] > invalid_z_thresh
         both = validA & validB
         occ = both & (xyzB[..., 2] < xyzA[..., 2] - 0.01)
         frac = occ.sum(axis=(1, 2)) / jnp.maximum(both.sum(axis=(1, 2)), 1)
-        gate = (frac > 0.02) & (frac < 0.6)
+        gate = (frac > 0.02) & (frac < hi)
         sub = (occ & gate[:, None, None])[..., None]
     if normalize_xyz:
         r = mesh_diameter / 2.0
@@ -470,9 +479,14 @@ class PoseRefinePredictor(_PredictorBase):
         if (cfg is None or "occ_sub" not in cfg) and ckpt_dir \
                 and os.path.exists(os.path.join(ckpt_dir, "OCC_SUB")):
             # checkpoint trained WITH the visibility substitution — inference
-            # must match (see _make_AB occ_sub; marker written by
-            # tools/train_networks.py)
-            self.cfg["occ_sub"] = True
+            # must match, including the gate ceiling (see _make_AB occ_sub;
+            # marker written by tools/train_networks.py)
+            with open(os.path.join(ckpt_dir, "OCC_SUB")) as f:
+                txt = f.read()
+            import re
+
+            m = re.search(r"ceiling=([0-9.]+)", txt)
+            self.cfg["occ_sub"] = float(m.group(1)) if m else True
         self.model = RefineNet(
             c_in=self.cfg["c_in"], rot_rep=self.cfg["rot_rep"], dtype=compute_dtype
         )
@@ -516,7 +530,7 @@ class PoseRefinePredictor(_PredictorBase):
             # may serve several FoundationPose instances (different meshes)
             backface_cull=bool(self.cfg.get("backface_cull", False)
                                if backface_cull is None else backface_cull),
-            occ_sub=bool(self.cfg.get("occ_sub", False)),
+            occ_sub=self.cfg.get("occ_sub", False),  # False | True | ceiling
         )
         vis = None
         if get_vis:

@@ -58,7 +58,7 @@ class TrainConfig(NamedTuple):
     # A's values, so occluders carry zero residual.  MUST match inference —
     # a net trained with occluders visible diverges on substituted inputs
     # (measured: clutter 5-deg basin 11 deg -> 44 deg) and vice versa.
-    occ_sub: bool = False
+    occ_sub: object = False  # False | True (0.6 ceiling) | float gate ceiling
     # scorer only: weight of the listwise distillation term against the
     # analytic depth/color teacher (predict.py::_depth_alignment_score).
     # The teacher is a computable function of the net's own (A, B) inputs —
@@ -264,14 +264,16 @@ def make_refiner_batch(key, mesh: MeshArrays, K, mesh_diameter, cfg: TrainConfig
     A = jnp.concatenate([rendA["color"], rendA["xyz_map"] - center], axis=-1)
     B = jnp.concatenate([rgbB, xyzB - center], axis=-1)
     if cfg.occ_sub:
-        # identical rule to predict.py::_make_AB(occ_sub=True): the net must
-        # see at train time exactly what inference will feed it
+        # identical rule to predict.py::_make_AB(occ_sub=...): the net must
+        # see at train time exactly what inference will feed it, including
+        # the gate ceiling (True = legacy 0.6, float = explicit ceiling)
+        hi = 0.6 if cfg.occ_sub is True else float(cfg.occ_sub)
         zA = rendA["xyz_map"][..., 2]
         zB = xyzB[..., 2]
         both = (zA > 0.001) & (zB > 0.001)
         occ = both & (zB < zA - 0.01)
         frac = occ.sum(axis=(1, 2)) / jnp.maximum(both.sum(axis=(1, 2)), 1)
-        gate = (frac > 0.02) & (frac < 0.6)
+        gate = (frac > 0.02) & (frac < hi)
         B = jnp.where((occ & gate[:, None, None])[..., None], A, B)
     # targets: egocentric deltas mapping pert -> gt.  The predictor decodes
     # R_corr = exp(tanh(rot)*norm)^T = exp(-tanh(rot)*norm), and the needed

@@ -22,6 +22,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def _parse_occ_sub(s):
+    """OCC_SUB env: 0 = off, 1 = legacy True (0.6 gate ceiling), any other
+    float = explicit gate ceiling (e.g. 0.85; >1 disables the upper gate)."""
+    v = float(s)
+    if v == 0:
+        return False
+    return True if v == 1 else v
+
+
 def main(scene_dirs, refiner_steps=800, scorer_steps=400, out_dir=None):
     """@scene_dirs: one scene dir or a list — with several, training
     round-robins the objects each step with SHARED params/optimizer (the
@@ -84,7 +93,7 @@ def main(scene_dirs, refiner_steps=800, scorer_steps=400, out_dir=None):
                       z_range=(0.4, 0.8),
                       p_occlusion=float(os.environ.get("P_OCC", "0.5")),
                       p_sensor=float(os.environ.get("SENSOR_AUG", "0.5")),
-                      occ_sub=bool(int(os.environ.get("OCC_SUB", "0"))))
+                      occ_sub=_parse_occ_sub(os.environ.get("OCC_SUB", "0")))
 
     # INIT_WEIGHTS=weights: fine-tune from an existing checkpoint pair instead
     # of from scratch.  From-scratch refiner runs sit on a long ~2.1-loss
@@ -147,9 +156,11 @@ def main(scene_dirs, refiner_steps=800, scorer_steps=400, out_dir=None):
                     train_shared(rts, refiner_steps, "refiner"))
         if cfg.occ_sub:
             # marker: inference must apply the same visibility substitution
-            # this checkpoint was trained with (predict.py DEFAULT_REFINER_CFG)
+            # (and gate ceiling) this checkpoint was trained with — the
+            # predictor parses `ceiling=` back out of this file
+            hi = 0.6 if cfg.occ_sub is True else float(cfg.occ_sub)
             with open(os.path.join(out_dir, "refiner", "OCC_SUB"), "w") as f:
-                f.write("trained with TrainConfig.occ_sub=True\n")
+                f.write(f"trained with TrainConfig.occ_sub (ceiling={hi})\n")
 
     if scorer_steps > 0:
         logging.info(f"training scorer for {scorer_steps} steps")
