@@ -38,13 +38,16 @@ def scene_dir():
             marks=pytest.mark.xfail(
                 reason="network-only ranking cannot separate the exact 180-"
                 "deg flip of a near-symmetric textured object from GT at "
-                "synthetic training scale: five campaigns (from-scratch "
-                "2000/4000 steps, fine-tuned 4000 steps, two init fixes) all "
-                "rank the flip first once the refiner converges both "
-                "candidates tightly — only texture separates them, and that "
+                "synthetic training scale: SEVEN campaigns — from-scratch "
+                "2000/4000 steps, fine-tuned 4000 steps, two init fixes, and "
+                "finally listwise distillation from the analytic depth/color "
+                "teacher (r4 campaign #7, DISTILL=1.0: box rot 178 deg) — "
+                "all rank the flip first once the refiner converges both "
+                "candidates tightly.  Only texture separates them, and that "
                 "discrimination is what the reference's ~10^6-scene weights "
-                "buy (predict_score.py:117-226).  The default hybrid mode "
-                "resolves it with the analytic color term (see r3 notes).",
+                "buy (predict_score.py:117-226).  Closed permanently per the "
+                "r3 verdict; the default hybrid mode resolves the flip with "
+                "the analytic color term (PROGRESS_NOTES ablation table).",
                 strict=False,
             ),
         ),
