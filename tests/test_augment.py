@@ -63,9 +63,13 @@ def test_xyz_batch_edge_artifacts_and_holes():
     # dropout: some previously-valid pixels became invalid
     dropped = (z_src > 0) & (z_out == 0)
     assert dropped.sum() > 20
-    # flying pixels: z values strictly between the two surfaces
-    between = (z_out > 0.53) & (z_out < 0.67)
-    assert between.sum() > 5
+    # flying pixels are a HELD-OUT eval-only family (augment.py docstring /
+    # r3 verdict item 6): the trainer must NOT synthesize between-surface z
+    # values beyond what axial noise explains (the surfaces sit at 0.5/0.7;
+    # sigma there is ~1.3 mm, so anything deeper than 5 sigma into the gap
+    # would be a flying-pixel artifact)
+    between = (z_out > 0.51) & (z_out < 0.69)
+    assert between.sum() == 0
 
 
 def test_maybe_degrade_pair_selects_per_sample():
