@@ -622,12 +622,16 @@ class ObjectFieldRunner:
         lin = np.linspace(-1, 1, resolution)
         pts = np.stack(np.meshgrid(lin, lin, lin, indexing="ij"), axis=-1).reshape(-1, 3)
         out = np.empty(len(pts), dtype=np.float32)
-        fn = jax.jit(lambda p: field_sdf(self.params, p, self.spec)[0])
+        # params must be an ARGUMENT, not a closure: closed-over device arrays
+        # become HLO constants, and a 287 MB table baked into the program blows
+        # the remote-compile request limit (HTTP 413 over the axon tunnel —
+        # hit by the first full-scale TPU campaign, r4)
+        fn = jax.jit(lambda params, p: field_sdf(params, p, self.spec)[0])
         for i in range(0, len(pts), chunk):
             end = min(i + chunk, len(pts))
             buf = np.zeros((chunk, 3), dtype=np.float32)
             buf[: end - i] = pts[i:end]
-            out[i:end] = np.asarray(fn(jnp.asarray(buf)))[: end - i]
+            out[i:end] = np.asarray(fn(self.params, jnp.asarray(buf)))[: end - i]
         return out.reshape(resolution, resolution, resolution)
 
     def extract_mesh(self, resolution=128, isolevel=0.0):
@@ -714,10 +718,12 @@ class ObjectFieldRunner:
         ff_row = np.asarray(self.params.frame_features[frame_id])
         rgb = np.empty((len(pts), 3), dtype=np.float32)
 
-        def q(p, d):
-            sdf, geo = field_sdf(self.params, p, self.spec)
-            ff = jnp.tile(jnp.asarray(ff_row)[None], (p.shape[0], 1))
-            return jax.nn.sigmoid(field_color(self.params, geo, d, ff, self.cfg.sh_degree))
+        def q(params, ffr, p, d):
+            # params as an argument — a closed-over table would be baked into
+            # the program as a constant (see query_sdf_grid)
+            sdf, geo = field_sdf(params, p, self.spec)
+            ff = jnp.tile(ffr[None], (p.shape[0], 1))
+            return jax.nn.sigmoid(field_color(params, geo, d, ff, self.cfg.sh_degree))
 
         qj = jax.jit(q)
         for i in range(0, len(pts), chunk):
@@ -726,7 +732,8 @@ class ObjectFieldRunner:
             db = np.zeros((chunk, 3), dtype=np.float32)
             pb[: end - i] = pts[i:end]
             db[: end - i] = dirs[i:end]
-            rgb[i:end] = np.asarray(qj(jnp.asarray(pb), jnp.asarray(db)))[: end - i]
+            rgb[i:end] = np.asarray(qj(self.params, jnp.asarray(ff_row),
+                                       jnp.asarray(pb), jnp.asarray(db)))[: end - i]
 
         # scatter cells into the atlas (pad the face range to the full grid)
         tex = np.zeros((C * C, cell, cell, 3), dtype=np.float32)
@@ -783,8 +790,12 @@ class ObjectFieldRunner:
 
 
 def run_neural_object_field(cfg: ObjectFieldConfig, K, rgbs, depths, masks, cam_in_obs,
-                            resolution=128, train_steps=None):
-    """One-call model-free mesh creation (reference run_nerf.py:18-46)."""
+                            resolution=128, train_steps=None, ckpt_dir=None):
+    """One-call model-free mesh creation (reference run_nerf.py:18-46).
+
+    @ckpt_dir: when given, weights are saved BEFORE mesh extraction — a
+    campaign's training result survives any extraction-stage failure (the
+    r4 TPU campaign lost 1000 steps to an extraction-time crash)."""
     import time as _time
 
     runner = ObjectFieldRunner(cfg, K, rgbs, depths, masks, cam_in_obs)
@@ -794,6 +805,8 @@ def run_neural_object_field(cfg: ObjectFieldConfig, K, rgbs, depths, masks, cam_
     # recorded on the runner for campaign artifacts (tools/run_object_field)
     runner.train_seconds = _time.perf_counter() - t0
     runner.final_loss = float(losses[-1]) if losses else float("nan")
+    if ckpt_dir:
+        runner.save_weights(ckpt_dir)
     mesh = runner.extract_mesh(resolution=resolution)
     mesh = runner.color_mesh(mesh)
     mesh = runner.mesh_to_real_world(mesh)
