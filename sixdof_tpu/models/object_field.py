@@ -549,7 +549,11 @@ class ObjectFieldRunner:
         self._step = jax.jit(step, donate_argnums=(0, 1))
         self._rays_dev = None
 
-    def train(self, n_steps=None, log_every=100):
+    def train(self, n_steps=None, log_every=100, ckpt_dir=None, ckpt_every=250):
+        """@ckpt_dir: when set, a checkpoint is written every `ckpt_every`
+        steps (reference saves every i_weights steps, nerf_runner.py:593) —
+        over the remote tunnel a campaign can die to link weather at any
+        point, and an end-of-training-only save loses everything."""
         n_steps = n_steps or self.cfg.n_step
         key = jax.random.PRNGKey(1)
         losses = []
@@ -570,6 +574,8 @@ class ObjectFieldRunner:
                     f"field step {i}: loss {float(loss):.4f} "
                     + " ".join(f"{k}={float(v):.4f}" for k, v in parts.items())
                 )
+            if ckpt_dir and ckpt_every and (i + 1) % ckpt_every == 0 and i + 1 < n_steps:
+                self.save_weights(ckpt_dir)
         return np.asarray(jnp.stack(losses)).tolist() if losses else []
 
     # -------------------------------------------------------- checkpointing --
@@ -800,7 +806,7 @@ def run_neural_object_field(cfg: ObjectFieldConfig, K, rgbs, depths, masks, cam_
 
     runner = ObjectFieldRunner(cfg, K, rgbs, depths, masks, cam_in_obs)
     t0 = _time.perf_counter()
-    losses = runner.train(train_steps)
+    losses = runner.train(train_steps, ckpt_dir=ckpt_dir)
     # train() syncs at the end (loss readback), so this is honest wall time;
     # recorded on the runner for campaign artifacts (tools/run_object_field)
     runner.train_seconds = _time.perf_counter() - t0
