@@ -206,7 +206,7 @@ class FoundationPose:
                       if tuple(sc.cfg["input_resize"]) != tuple(ref.cfg["input_resize"])
                       else None),
             polish_top=self.polish_top, polish_iters=self.polish_iters,
-            occ_sub=bool(ref.cfg.get("occ_sub", False)),
+            occ_sub=ref.cfg.get("occ_sub", False),  # False | True | float ceiling — pass verbatim (train/infer gate must match)
         )
 
     def precompile_async(self, K, image_hw, iteration=5, track_iteration=2):
@@ -278,7 +278,7 @@ class FoundationPose:
                     normalize_xyz=bool(ref.cfg["normalize_xyz"]),
                     trans_rep=ref.cfg["trans_rep"], rot_rep=ref.cfg["rot_rep"],
                     backface_cull=self.backface_cull,
-                    occ_sub=bool(ref.cfg.get("occ_sub", False)),
+                    occ_sub=ref.cfg.get("occ_sub", False),  # False | True | float ceiling — pass verbatim (train/infer gate must match)
                 ).compile()
             except Exception as e:  # pragma: no cover - diagnostics only
                 logging.warning(f"track precompile failed (non-fatal): {e}")
@@ -618,7 +618,7 @@ class FoundationPose:
             normalize_xyz=bool(ref.cfg["normalize_xyz"]),
             trans_rep=ref.cfg["trans_rep"], rot_rep=ref.cfg["rot_rep"],
             backface_cull=self.backface_cull,
-            occ_sub=bool(ref.cfg.get("occ_sub", False)),
+            occ_sub=ref.cfg.get("occ_sub", False),  # False | True | float ceiling — pass verbatim (train/infer gate must match)
         )
         logging.info("pose done")
         if self.debug >= 2:

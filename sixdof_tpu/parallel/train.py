@@ -590,14 +590,29 @@ class ScorerTrainer:
 
 
 def save_params(path, params):
+    """Crash-safe checkpoint save: write to a temp sibling, then atomically
+    swap it over any existing checkpoint.  The old delete-then-write order
+    destroyed the previous checkpoint if the process died mid-save — exactly
+    the link-weather scenario periodic checkpointing exists to survive
+    (ObjectFieldRunner.train saves into the same dir every 250 steps)."""
     import os
     import shutil
 
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
-    if os.path.exists(path):
-        shutil.rmtree(path)
+    tmp = path + ".tmp-save"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, {"params": jax.tree.map(np.asarray, params)})
+    ckptr.save(tmp, {"params": jax.tree.map(np.asarray, params)})
     ckptr.wait_until_finished()
+    # New checkpoint is fully on disk — now retire the old one and rename.
+    old = path + ".old-save"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)

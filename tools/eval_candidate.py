@@ -53,7 +53,11 @@ def rank0_probe(scene_dir, wdir):
     est = FoundationPose(model_pts=mesh.vertices, model_normals=mesh.vertex_normals,
                          mesh=mesh, refiner=ref, scorer=sc)
     model_pts = np.asarray(est.pts)
-    occ_sub = bool(ref.cfg.get("occ_sub", False))  # candidate's OCC_SUB marker
+    # Candidate's OCC_SUB marker — False | True | float gate ceiling.  Pass
+    # verbatim: coercing to bool would probe a float-ceiling checkpoint at
+    # the legacy 0.6 gate (train/inference mismatch) and EVAL.json would
+    # lose the ceiling the accept/reject decision depends on.
+    occ_sub = ref.cfg.get("occ_sub", False)
 
     color = reader.get_color(0)
     depth = reader.get_depth(0)
