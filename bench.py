@@ -37,6 +37,10 @@ SCENE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "demo_data", "s
 BASELINE_FPS = 10.0
 CAPTURE_EVERY = 10
 N_TRACK = 30
+# tracked-pose readback pipeline depth (matches app/run.py --track_pipeline
+# default): with ~30 ms tunnel readbacks and ~30 ms frames, depth 3 keeps
+# every D2H copy fully overlapped; poses are identical at any depth
+PIPE_DEPTH = 3
 
 
 def flush_tunnel():
@@ -112,8 +116,8 @@ def main():
 
     from sixdof_tpu.app.defect_projection import compute_rays, heatmap_to_points, ray_tracing
     from sixdof_tpu.app.icp_pipeline import (
-        CaptureContext, capture_event, improve_result, preprocess_source,
-        refine_pose_with_icp,
+        CaptureContext, capture_event, capture_event_async, improve_result,
+        preprocess_source, refine_pose_with_icp,
     )
     from sixdof_tpu.estimater import FoundationPose
     from sixdof_tpu.io.mesh_io import load_mesh
@@ -261,13 +265,19 @@ def main():
     cap_ctx = CaptureContext(target_processed, reader.target_mesh, reader.color_to_depth)
     # every frame: each source cloud size can land in a different padding
     # bucket, and an unwarmed bucket pays its compile/cache-load inside the
-    # measured loops otherwise
+    # measured loops otherwise.  Warm BOTH capture programs (sync host-seeded
+    # and async device-seeded) per bucket.
+    tf_centered = est.get_tf_to_centered_mesh()
     for wf in range(1, len(reader)):
         s = reader.get_source(wf)
         sp, _, _ = preprocess_source(s, reader.background, reader.parameters, i=wf)
         capture_event(sp, target_processed, init_tf.copy(), reader.parameters,
                       reader.target_mesh, rays, ray_mask, intensities,
                       reader.color_to_depth, ctx=cap_ctx)
+        ph = est.track_one(rgb=color, depth=depth, K=reader.color_K, iteration=2,
+                           sync=False)
+        capture_event_async(sp, ph._dev, tf_centered, reader.parameters,
+                            rays, ray_mask, intensities, ctx=cap_ctx).result()
 
     # ---- steady-state tracking (the product's pipelined path, app/run.py
     # --track_pipeline=2): the pose chain stays on device and the host
@@ -292,7 +302,7 @@ def main():
             d = reader.get_depth(fi)
             pending.append(est.track_one(rgb=c, depth=d, K=reader.color_K,
                                          iteration=2, sync=False))
-            while len(pending) > 2:
+            while len(pending) > PIPE_DEPTH:
                 consume(pending.popleft())
         while pending:
             consume(pending.popleft())
@@ -322,6 +332,22 @@ def main():
 
     timings["track_device_s"] = float(np.median([_track_chain() for _ in range(3)]))
 
+    # async capture dispatch cost: the capture's contribution to the loop's
+    # critical path in async mode is just this dispatch (device work and the
+    # readback overlap later frames; result() next frame is the readback)
+    ph = est.track_one(rgb=color, depth=depth, K=reader.color_K, iteration=2,
+                       sync=False)
+    s1 = reader.get_source(1)
+    sp1, _, _ = preprocess_source(s1, reader.background, reader.parameters, i=1)
+    disp_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        pc = capture_event_async(sp1, ph._dev, tf_centered, reader.parameters,
+                                 rays, ray_mask, intensities, ctx=cap_ctx)
+        disp_times.append(time.perf_counter() - t0)
+        pc.result()
+    capture_async_dispatch_s = float(np.median(disp_times))
+
     # capture event alone: preprocess + batched-restart ICP + defect ray trace
     t0 = time.perf_counter()
     n_cap = 4
@@ -347,39 +373,65 @@ def main():
     capture_device_s = max(float(np.median(cap_times)) - lat_cap, 0.0)
 
     # ---- all-in steady state, measured directly (not a formula): the app
-    # loop with a defect capture every CAPTURE_EVERY frames.  Capture frames
-    # force a pose sync (the ICP + defects consume it immediately); all other
-    # frames track through the 2-deep readback pipeline ----
+    # loop with a defect capture every CAPTURE_EVERY frames, run the way the
+    # app runs it at debug 0 (app/run.py async_mode): NO frame forces a host
+    # sync.  A capture frame starts the host preprocess in a worker thread
+    # (it overlaps the tunnel-bound track dispatches); the next frame joins
+    # it and dispatches the fused ICP + ray trace seeded from the DEVICE
+    # pose (capture_event_async); the frame after that consumes the result.
+    # All capture work still lands inside the timed loop — only its latency
+    # is hidden, exactly like the app (one-frame dead-reckoning lag,
+    # reference run.py:210).
+    import threading
+
     def run_allin_loop():
         t_loop = time.perf_counter()
         pending = deque()
+        # capture pipeline, one stage per frame: preproc (worker thread) ->
+        # dispatch (device-pose seeded, ~4 ms) -> settle (device + readback
+        # run under the next frame) -> result (materialize, now cheap)
+        cap_stage = None
+
+        def advance_capture(drain=False):
+            nonlocal cap_stage
+            if cap_stage is None:
+                return
+            if cap_stage[0] == "preproc":
+                _, th, box, ph = cap_stage
+                th.join()
+                pcap = capture_event_async(box["sp"], ph._dev, tf_centered,
+                                           reader.parameters, rays, ray_mask,
+                                           intensities, ctx=cap_ctx)
+                cap_stage = ("settle", pcap, 4)
+            elif cap_stage[0] == "settle" and cap_stage[2] > 0 and not drain:
+                cap_stage = ("settle", cap_stage[1], cap_stage[2] - 1)
+            else:
+                cap_stage[1].result()
+                cap_stage = None
+
         for i in range(N_TRACK):
             fi = 1 + (i % (n - 1))
             c = reader.get_color(fi)
             d = reader.get_depth(fi)
-            is_cap = (i % CAPTURE_EVERY) == CAPTURE_EVERY - 1
             out = est.track_one(rgb=c, depth=d, K=reader.color_K, iteration=2,
-                                sync=is_cap)
-            if is_cap:
-                tc = time.perf_counter()
-                while pending:
-                    consume(pending.popleft())
-                pose_mm = reader.scale_translation_to_millimeters(out)
-                cap_tf = reader.color_to_depth @ pose_mm
-                t1 = time.perf_counter()
-                s = reader.get_source(fi)
-                sp, _, _ = preprocess_source(s, reader.background, reader.parameters, i=fi)
-                t2 = time.perf_counter()
-                capture_event(sp, target_processed, cap_tf, reader.parameters,
-                              reader.target_mesh, rays, ray_mask, intensities,
-                              reader.color_to_depth, ctx=cap_ctx)
-                if os.environ.get("BENCH_DEBUG"):
-                    print(f"cap@{i}: drain {t1-tc:.3f}s  src+preproc {t2-t1:.3f}s "
-                          f"capture {time.perf_counter()-t2:.3f}s", file=sys.stderr)
-            else:
-                pending.append(out)
-                while len(pending) > 2:
-                    consume(pending.popleft())
+                                sync=False)
+            advance_capture()  # one capture-pipeline stage per frame
+            if (i % CAPTURE_EVERY) == CAPTURE_EVERY - 1:
+                box = {}
+
+                def work(fi=fi, box=box):
+                    s = reader.get_source(fi)
+                    box["sp"], _, _ = preprocess_source(
+                        s, reader.background, reader.parameters, i=fi)
+
+                th = threading.Thread(target=work)
+                th.start()
+                cap_stage = ("preproc", th, box, out)
+            pending.append(out)
+            while len(pending) > PIPE_DEPTH:
+                consume(pending.popleft())
+        while cap_stage is not None:
+            advance_capture(drain=True)
         while pending:
             consume(pending.popleft())
         return N_TRACK / (time.perf_counter() - t_loop)
@@ -526,7 +578,7 @@ def main():
                     j = json.loads(line)
                     cold = {
                         "first_pose_from_process_start_s": j["time_to_first_pose_s"],
-                        "cold_first_register_s": j["first_register_s"],
+                        "register_first_fresh_process_s": j["first_register_s"],
                     }
                     break
         except Exception:
@@ -561,8 +613,17 @@ def main():
         "link_degraded": link_degraded,
         "loops_rerun": loops_rerun,
         "capture_event_s": round(capture_s, 3),
+        "capture_async_dispatch_s": round(capture_async_dispatch_s, 3),
         "register_s": round(timings["register_s"], 3),
-        "register_first_s": round(timings["register_first_s"], 3),  # incl. compile
+        # ---- "first register" disambiguation (three different questions):
+        # register_first_in_this_process_s — first register() in THIS bench
+        #   process (persistent compile cache warm; the staged detour may
+        #   serve it while the fused compile runs in background);
+        # register_first_fresh_process_s — first register() in a FRESH
+        #   subprocess started after this run (warm disk cache, cold jit);
+        # first_pose_from_process_start_s — that fresh subprocess's
+        #   interpreter start -> first pose (imports + weights + compiles).
+        "register_first_in_this_process_s": round(timings["register_first_s"], 3),
         "icp_full_s": round(timings["icp_full_s"], 3),
         "icp_full_first_s": round(timings["icp_full_first_s"], 3),  # incl. compile
         "raytrace_s": round(timings["raytrace_s"], 3),

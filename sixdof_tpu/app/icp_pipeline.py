@@ -20,6 +20,7 @@ Units: millimeters, matching the reference's ICP stage (run.py:95-96).
 from __future__ import annotations
 
 import copy
+import functools
 import logging
 from dataclasses import dataclass, field
 
@@ -253,6 +254,40 @@ class CaptureContext:
             self._ray_key = key
         return self._rays
 
+    def restarts_device(self, parameters, n_restarts=None, seed=0):
+        """Device-resident restart noise + thresholds, cached: the noise
+        distribution is pose-independent (it multiplies the seed transform),
+        so capture events reuse one upload instead of regenerating and
+        re-uploading (K,4,4) host matrices every event.
+        Returns (noise_dev (K,4,4), thresholds_dev (K,), base_thresh,
+        max_iter, K)."""
+        base_thresh = float(parameters["refine_registration"]["distance_threshold"])
+        if n_restarts is None:
+            n_restarts = int(parameters.get("run_icp", {}).get("n_restarts", 50))
+        max_iter = int(parameters.get("run_icp", {}).get("max_iter", 30))
+        key = (base_thresh, int(n_restarts), max_iter, int(seed))
+        cached = getattr(self, "_restart_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        noise, thresholds = _restart_noise(base_thresh, n_restarts, seed)
+        out = (jnp.asarray(noise, dtype=jnp.float32),
+               jnp.asarray(thresholds), base_thresh, max_iter, int(n_restarts))
+        self._restart_cache = (key, out)
+        return out
+
+    def pose_consts_device(self, tf_to_centered):
+        """Device constants for capture_from_pose: the centered->original
+        mesh compose and the mm color->depth extrinsic (both static per
+        scene)."""
+        cached = getattr(self, "_pose_consts", None)
+        key = np.asarray(tf_to_centered, dtype=np.float64).tobytes()
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        out = (jnp.asarray(tf_to_centered, dtype=jnp.float32),
+               jnp.asarray(self._color_to_depth, dtype=jnp.float32))
+        self._pose_consts = (key, out)
+        return out
+
 
 # ------------------------------------------------------------------ search --
 
@@ -290,11 +325,37 @@ def predict_z_axis_adjustment(source, target, initial_fp_transformation, param,
     return float(zs[best]), float(fit[best]), float(rmse[best])
 
 
+@functools.lru_cache(maxsize=32)
+def _restart_noise(base_thresh, n_restarts, seed=0):
+    """Pose-independent restart noise: the reference's distribution
+    (threshold jitter U(0.8,1.2), rotation noise U(-0.01,0.01) rad,
+    translation U(-x,x) with escalating x — src/pose_estimation.py:547-622)
+    pre-spread over one parallel batch.  Row 0 is identity/base (the
+    unperturbed seed).  Returns (noise (K,4,4) float64, thresholds (K,));
+    deterministic per args and lru-cached — callers must not mutate."""
+    rng = np.random.RandomState(seed)
+    K = int(n_restarts)
+    noise_tfs = np.zeros((K, 4, 4), dtype=np.float64)
+    thresholds = np.zeros(K, dtype=np.float32)
+    # escalating translation-noise amplitude across the batch (the reference
+    # escalates x by +0.25 on failures; we pre-spread it)
+    xs = np.concatenate([np.full(K // 2, 0.1), np.linspace(0.1, 1.0, K - K // 2)])
+    from ..ops.lie import euler_matrix
+
+    for k in range(K):
+        if k == 0:
+            noise_tfs[k] = np.eye(4)
+            thresholds[k] = base_thresh
+            continue
+        thresholds[k] = base_thresh * rng.uniform(0.8, 1.2)
+        noise = euler_matrix(*[rng.uniform(-0.01, 0.01) for _ in range(3)])
+        noise[:3, 3] = rng.uniform(-xs[k], xs[k], 3)
+        noise_tfs[k] = noise
+    return noise_tfs, thresholds
+
+
 def _build_restarts(current_result, parameters, n_restarts=None, seed=0):
-    """Restart batch for improve_result/capture_event: the reference's noise
-    distribution (threshold jitter U(0.8,1.2), rotation noise U(-0.01,0.01)
-    rad, translation U(-x,x) with escalating x — src/pose_estimation.py:
-    547-622) pre-spread over one parallel batch.
+    """Restart batch for improve_result/capture_event (host-seeded form).
     Returns (best_transformation, tfs (K,4,4), thresholds (K,), base_thresh,
     max_iter, K)."""
     if not hasattr(current_result, "fitness") or current_result.fitness is None:
@@ -306,27 +367,12 @@ def _build_restarts(current_result, parameters, n_restarts=None, seed=0):
     best_transformation = np.linalg.inv(init_tf)
 
     base_thresh = float(parameters["refine_registration"]["distance_threshold"])
-    rng = np.random.RandomState(seed)
     if n_restarts is None:
         n_restarts = int(parameters.get("run_icp", {}).get("n_restarts", 50))
     max_iter = int(parameters.get("run_icp", {}).get("max_iter", 30))
     K = n_restarts
-    tfs = np.zeros((K, 4, 4), dtype=np.float32)
-    thresholds = np.zeros(K, dtype=np.float32)
-    # escalating translation-noise amplitude across the batch (the reference
-    # escalates x by +0.25 on failures; we pre-spread it)
-    xs = np.concatenate([np.full(K // 2, 0.1), np.linspace(0.1, 1.0, K - K // 2)])
-    from ..ops.lie import euler_matrix
-
-    for k in range(K):
-        if k == 0:
-            tfs[k] = best_transformation
-            thresholds[k] = base_thresh
-            continue
-        thresholds[k] = base_thresh * rng.uniform(0.8, 1.2)
-        noise = euler_matrix(*[rng.uniform(-0.01, 0.01) for _ in range(3)])
-        noise[:3, 3] = rng.uniform(-xs[k], xs[k], 3)
-        tfs[k] = noise @ best_transformation
+    noise_tfs, thresholds = _restart_noise(base_thresh, K, seed)
+    tfs = (noise_tfs @ best_transformation).astype(np.float32)
     return best_transformation, tfs, thresholds, base_thresh, max_iter, K
 
 
@@ -448,6 +494,92 @@ def capture_event(source_processed, target_processed, current_result, parameter,
 
         return out, _PC(np.zeros((0, 3)))
     return out, create_intersection_pcd(pts, np.asarray(intensities)[hit])
+
+
+class PendingCapture:
+    """Handle for an in-flight capture event (capture_event_async).
+
+    Holds the device-side (tf_all, fit, rmse, best, t_hit) arrays with their
+    D2H copies already started; `.result()` materializes (and caches) the
+    same (RegistrationResult, intersection PointCloud) tuple capture_event
+    returns.  Consuming the result a frame after dispatch overlaps both the
+    device work and the tunnel round trip with the next frame's tracking.
+    """
+
+    __slots__ = ("_arrs", "_rays", "_mask", "_inten", "_n_restarts", "_out")
+
+    def __init__(self, arrs, ray_dirs, ray_mask, intensities, n_restarts):
+        self._arrs = arrs
+        self._rays = np.asarray(ray_dirs)
+        self._mask = np.asarray(ray_mask)
+        self._inten = np.asarray(intensities)
+        self._n_restarts = n_restarts
+        self._out = None
+        for a in arrs:
+            try:  # start the D2H copies now; .result() later won't stall
+                a.copy_to_host_async()
+            except Exception:
+                pass
+
+    def result(self):
+        if self._out is not None:
+            return self._out
+        import jax
+
+        tf_all, fit, rmse, best, t = jax.device_get(self._arrs)
+        best = int(best)
+        out = RegistrationResult()
+        out.fitness = float(fit[best])
+        out.inlier_rmse = float(rmse[best])
+        out.transformation = tf_all[best].astype(np.float64)
+        logging.info(
+            f":: Capture event: Fitness = {out.fitness:.4f}, "
+            f"RMSE = {out.inlier_rmse:.4f} "
+            f"(over {self._n_restarts} parallel restarts, async)"
+        )
+        hit = np.isfinite(t) & self._mask
+        pts = self._rays[hit] * t[hit, None]
+        if len(pts) == 0:
+            from ..io.mesh_io import PointCloud as _PC
+
+            self._out = (out, _PC(np.zeros((0, 3))))
+        else:
+            from .defect_projection import create_intersection_pcd
+
+            self._out = (out, create_intersection_pcd(pts, self._inten[hit]))
+        return self._out
+
+
+def capture_event_async(source_processed, pose_dev, tf_to_centered, parameter,
+                        ray_dirs, ray_mask, intensities, ctx: CaptureContext,
+                        n_restarts=None, seed=0):
+    """Dispatch one capture event seeded from the DEVICE tracked pose and
+    return a PendingCapture immediately — no host synchronization on the
+    dispatch path.
+
+    Same search/result semantics as capture_event(..., ctx=ctx) seeded with
+    `color_to_depth @ mm(pose)`, except the seed math runs in-graph from the
+    un-synced tracked pose (ops/icp.py::capture_from_pose) and the result is
+    read back asynchronously.  The app's dead-reckoning consumers tolerate a
+    one-frame result lag (reference run.py:210), which turns the capture
+    frame's ~3 tunnel round trips into zero.
+
+    @pose_dev: device (4,4)/(1,4,4) CENTERED-mesh pose in color-cam meters —
+    `PendingPose._dev` or `FoundationPose.pose_last`; @tf_to_centered:
+    FoundationPose.get_tf_to_centered_mesh().  Requires a CaptureContext.
+    """
+    noise_d, thr_d, base_thresh, max_iter, K = ctx.restarts_device(
+        parameter, n_restarts, seed)
+    tf_center_d, c2d_d = ctx.pose_consts_device(tf_to_centered)
+    rays_d, ray_mask_d, intensities = ctx.rays_device(ray_dirs, ray_mask, intensities)
+    src, src_mask = _pad_cloud(source_processed.points)
+    arrs = icp_ops.capture_from_pose(
+        src, src_mask, ctx.tgt, ctx.tgt_normals, ctx.tgt_mask,
+        pose_dev, tf_center_d, c2d_d, noise_d, thr_d, base_thresh,
+        ctx.tri, ctx.tri_mask, rays_d, ray_mask_d, ctx.depth_to_color,
+        max_iter=max_iter,
+    )
+    return PendingCapture(arrs, ray_dirs, ray_mask, intensities, K)
 
 
 # ------------------------------------------------------------------- mains --

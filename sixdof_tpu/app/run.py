@@ -37,7 +37,8 @@ from .defect_projection import (
     save_overlay,
 )
 from .icp_pipeline import (
-    CaptureContext, capture_event, preprocess_source, refine_pose_with_icp,
+    CaptureContext, capture_event, capture_event_async, preprocess_source,
+    refine_pose_with_icp,
 )
 from .web_vis import ASSETS_DIR, run_dash_app, update_dash_data
 
@@ -155,6 +156,7 @@ def main(args):
     detect_defect = False
     frame_times = []
     pending_poses = deque()  # (frame_idx, PendingPose) awaiting host readback
+    pending_captures = deque()  # (frame_idx, PendingPose, PendingCapture)
     timer = StageTimer()
 
     def drain_pending(keep_frame=None, leave=0):
@@ -175,6 +177,42 @@ def main(args):
         (reference run.py:95-96)."""
         return np.dot(reader.color_to_depth,
                       reader.scale_translation_to_millimeters(pose))
+
+    def drain_captures(now=None):
+        """Consume completed async capture events in frame order.
+
+        The capture's ICP + ray trace were dispatched from the un-synced
+        device pose (capture_event_async); its result is consumed here a few
+        frames later — the same frame-lag tolerance the reference's own
+        dead-reckoning already has (reference run.py:210) — so the device
+        work AND the tunnel readback fully overlap subsequent tracking.
+        @now: current frame index — entries younger than 4 frames are left
+        in flight (their D2H copies are still settling); None drains all.
+        """
+        nonlocal previous_transformation, delta_pose, current_transformation, \
+            target_mesh_copy
+        while pending_captures:
+            if now is not None and now - pending_captures[0][0] < 4:
+                break
+            j, pp, pcap = pending_captures.popleft()
+            init_tf = to_initial_tf(pp.numpy())
+            current_result, new_intersection_pcd = pcap.result()
+            current_transformation = current_result.transformation
+            delta_pose = np.linalg.inv(init_tf) @ np.linalg.inv(
+                current_transformation
+            )
+            target_mesh_copy = transform_object(
+                reader.target_mesh, np.linalg.inv(current_transformation)
+            )
+            relative_transformation = (
+                np.linalg.inv(current_transformation) @ previous_transformation
+            )
+            for pcd in intersection_pcds:
+                pcd.transform(relative_transformation)
+            new_intersection_pcd.transform(reader.color_to_depth)
+            intersection_pcds.append(new_intersection_pcd)
+            previous_transformation = current_transformation
+            update_dash_data(intersection_pcds, target_mesh_copy)
 
     reader.update()
     heatmap, color_original, heatmap_vis, _ = reader.get_heatmap(reader.get_color(i))
@@ -247,10 +285,15 @@ def main(args):
             want_capture = (not capture_queue.empty()) or bool(
                 args.capture_every and i % args.capture_every == 0)
             pipeline_depth = getattr(args, "track_pipeline", 2)
-            want_sync = debug >= 1 or want_capture or pipeline_depth <= 0
+            # pipelined mode: NOTHING forces a host sync — capture frames
+            # dispatch their ICP + ray trace from the device pose
+            # (capture_event_async) and the result is consumed next frame
+            async_mode = debug < 1 and pipeline_depth > 0
+            want_sync = not async_mode
             with timer.stage("track"):
                 out = est.track_one(rgb=color, depth=depth, K=reader.color_K,
                                     iteration=args.track_refine_iter, sync=want_sync)
+            drain_captures(now=i)  # consume settled captures (>=4 frames old)
             if want_sync:
                 drain_pending()  # keep ob_in_cam writes ordered
                 pose = out
@@ -258,7 +301,7 @@ def main(args):
                 pending_poses.append((i, out))
                 drain_pending(leave=pipeline_depth)
                 pose = None  # dead-reckoning state has no consumer until the
-                # next capture frame, which re-syncs; skip the host math
+                # next capture event resolves; skip the host math
             if pose is not None:
                 initial_transformation = to_initial_tf(pose)
 
@@ -269,7 +312,7 @@ def main(args):
             if args.capture_every and i % args.capture_every == 0:
                 detect_defect = True
 
-            if detect_defect and pose is None:
+            if detect_defect and pose is None and not async_mode:
                 # capture request landed between the pre-track queue check
                 # and here (viewer thread): sync this frame's pose after all
                 pose = drain_pending(keep_frame=i)
@@ -298,28 +341,39 @@ def main(args):
                     rays = np.array([[0.0, 0.0, 1.0]])
                     intensities = np.zeros(1)
                     ray_mask = np.zeros(1, dtype=bool)
-                current_result, new_intersection_pcd = capture_event(
-                    source_processed, target_processed, initial_transformation,
-                    reader.parameters, reader.target_mesh, rays,
-                    ray_mask, intensities,
-                    reader.color_to_depth, ctx=capture_ctx,
-                )
-                current_transformation = current_result.transformation
-                delta_pose = np.linalg.inv(initial_transformation) @ np.linalg.inv(
-                    current_transformation
-                )
-                target_mesh_copy = transform_object(
-                    reader.target_mesh, np.linalg.inv(current_transformation)
-                )
-                relative_transformation = (
-                    np.linalg.inv(current_transformation) @ previous_transformation
-                )
-                for pcd in intersection_pcds:
-                    pcd.transform(relative_transformation)
-                new_intersection_pcd.transform(reader.color_to_depth)
-                intersection_pcds.append(new_intersection_pcd)
-                previous_transformation = current_transformation
-                update_dash_data(intersection_pcds, target_mesh_copy)
+                if async_mode:
+                    # dispatch from the un-synced device pose; consumed by
+                    # drain_captures() next frame (one-frame lag, same
+                    # results — tests/test_icp_pipeline.py async-vs-sync)
+                    pcap = capture_event_async(
+                        source_processed, out._dev,
+                        est.get_tf_to_centered_mesh(), reader.parameters,
+                        rays, ray_mask, intensities, ctx=capture_ctx,
+                    )
+                    pending_captures.append((i, out, pcap))
+                else:
+                    current_result, new_intersection_pcd = capture_event(
+                        source_processed, target_processed, initial_transformation,
+                        reader.parameters, reader.target_mesh, rays,
+                        ray_mask, intensities,
+                        reader.color_to_depth, ctx=capture_ctx,
+                    )
+                    current_transformation = current_result.transformation
+                    delta_pose = np.linalg.inv(initial_transformation) @ np.linalg.inv(
+                        current_transformation
+                    )
+                    target_mesh_copy = transform_object(
+                        reader.target_mesh, np.linalg.inv(current_transformation)
+                    )
+                    relative_transformation = (
+                        np.linalg.inv(current_transformation) @ previous_transformation
+                    )
+                    for pcd in intersection_pcds:
+                        pcd.transform(relative_transformation)
+                    new_intersection_pcd.transform(reader.color_to_depth)
+                    intersection_pcds.append(new_intersection_pcd)
+                    previous_transformation = current_transformation
+                    update_dash_data(intersection_pcds, target_mesh_copy)
                 detect_defect = False
             elif pose is not None:
                 current_transformation = np.linalg.inv(initial_transformation @ delta_pose)
@@ -349,6 +403,7 @@ def main(args):
                 cv2.imwrite(f"{debug_dir}/track_vis/{i:04d}.png", vis[..., ::-1])
         i += 1
 
+    drain_captures()  # consume any in-flight capture event
     drain_pending()  # drain the readback pipeline
     reader.stop_camera()
     timer.log()
@@ -413,10 +468,11 @@ def build_parser():
     parser.add_argument("--track_crop", type=int, default=1,
                         help="crop the uploaded frame around the tracked pose "
                              "(1 = on; identical poses, less link traffic)")
-    parser.add_argument("--track_pipeline", type=int, default=2,
+    parser.add_argument("--track_pipeline", type=int, default=3,
                         help="tracked-pose readback pipeline depth (0 = sync "
                              "every frame); poses are identical, the host "
-                             "copy just lags this many frames")
+                             "copy just lags this many frames (3 keeps ~30 ms "
+                             "tunnel readbacks fully overlapped at ~30 FPS)")
     parser.add_argument("--prune_schedule", type=str, default="",
                         help="progressive coarse pruning stages as "
                              "'ITERSxKEEP,...' (e.g. '1x128,1x64'); overrides "

@@ -184,23 +184,9 @@ def icp_batch_with_eval(src, src_mask, tgt, tgt_normals, tgt_mask, init_tfs, max
     return res, f0, r0
 
 
-@functools.partial(jax.jit, static_argnames=("max_iter",))
-def improve_and_raytrace(src, src_mask, tgt, tgt_normals, tgt_mask, init_tfs, max_dists,
-                         eval_tf, eval_dist, mesh_tri, mesh_tri_mask, ray_dirs, ray_mask,
-                         inv_color_to_depth, max_iter=30):
-    """One capture event as ONE device program: batched-restart ICP + the
-    initial-transform evaluation + device-side best-pick + defect ray trace
-    against the re-posed mesh.
-
-    The staged path (improve_result -> host argbest -> transform mesh ->
-    ray_tracing) pays two extra dispatches and the host round trips between
-    them; at capture cadence that latency is the difference between making
-    and missing the 10 FPS budget (BASELINE.md).
-
-    @mesh_tri: (T,3,3) model-frame mm triangles; @ray_dirs: (M,3) color-frame
-    rays; @inv_color_to_depth: (4,4).  Returns (tf_all (K+1,4,4), fit (K+1,),
-    rmse (K+1,), best index (), t_hit (M,)).
-    """
+def _improve_and_raytrace_body(src, src_mask, tgt, tgt_normals, tgt_mask, init_tfs,
+                               max_dists, eval_tf, eval_dist, mesh_tri, mesh_tri_mask,
+                               ray_dirs, ray_mask, inv_color_to_depth, max_iter):
     from .raytrace import ray_mesh_intersect
 
     res = jax.vmap(
@@ -233,3 +219,64 @@ def improve_and_raytrace(src, src_mask, tgt, tgt_normals, tgt_mask, init_tfs, ma
     origins = jnp.zeros_like(ray_dirs)
     t_hit = ray_mesh_intersect(origins, ray_dirs, ray_mask, tri_w, mesh_tri_mask)
     return tf_all, fit, rmse, best, t_hit
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def improve_and_raytrace(src, src_mask, tgt, tgt_normals, tgt_mask, init_tfs, max_dists,
+                         eval_tf, eval_dist, mesh_tri, mesh_tri_mask, ray_dirs, ray_mask,
+                         inv_color_to_depth, max_iter=30):
+    """One capture event as ONE device program: batched-restart ICP + the
+    initial-transform evaluation + device-side best-pick + defect ray trace
+    against the re-posed mesh.
+
+    The staged path (improve_result -> host argbest -> transform mesh ->
+    ray_tracing) pays two extra dispatches and the host round trips between
+    them; at capture cadence that latency is the difference between making
+    and missing the 10 FPS budget (BASELINE.md).
+
+    @mesh_tri: (T,3,3) model-frame mm triangles; @ray_dirs: (M,3) color-frame
+    rays; @inv_color_to_depth: (4,4).  Returns (tf_all (K+1,4,4), fit (K+1,),
+    rmse (K+1,), best index (), t_hit (M,)).
+    """
+    return _improve_and_raytrace_body(
+        src, src_mask, tgt, tgt_normals, tgt_mask, init_tfs, max_dists,
+        eval_tf, eval_dist, mesh_tri, mesh_tri_mask, ray_dirs, ray_mask,
+        inv_color_to_depth, max_iter)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def capture_from_pose(src, src_mask, tgt, tgt_normals, tgt_mask,
+                      pose_dev, tf_to_centered, color_to_depth, noise_tfs, max_dists,
+                      eval_dist, mesh_tri, mesh_tri_mask, ray_dirs, ray_mask,
+                      inv_color_to_depth, max_iter=30):
+    """Capture event seeded directly from the DEVICE tracked pose — the
+    restart-seed math the host used to do (mm scaling, extrinsic compose,
+    inversion, noise application; reference run.py:95-96 + :168-206) moves
+    in-graph, so a capture frame never has to synchronize the tracked pose
+    to the host before dispatching ICP + ray trace.  Combined with an async
+    readback of the result, the capture's device work and its tunnel round
+    trip both overlap the next frames' tracking (the app's dead-reckoning
+    consumers tolerate a one-frame lag, reference run.py:210).
+
+    @pose_dev: (4,4) tracked pose of the CENTERED mesh, color-cam meters
+    (track_pose_jit output); @tf_to_centered: (4,4) centered->original mesh
+    compose (FoundationPose.get_tf_to_centered_mesh); @color_to_depth: (4,4)
+    mm extrinsic; @noise_tfs: (K,4,4) pose-independent restart noise
+    (identity first row = the unperturbed seed).  Other args as
+    improve_and_raytrace.  Returns (tf_all, fit, rmse, best, t_hit).
+    """
+    pose_orig = pose_dev.reshape(4, 4) @ tf_to_centered  # original mesh frame
+    pose_mm = pose_orig.at[:3, 3].multiply(1000.0)  # meters -> mm (ICP frame)
+    cap_tf = color_to_depth @ pose_mm  # object-in-scene, depth cam
+    # source->target ICP init: rigid inverse (R^T, -R^T t) — exact for the
+    # rigid cap_tf where a general f32 LU inverse loses ~1e-4 relative on a
+    # ~500 mm translation
+    Rt = cap_tf[:3, :3].T
+    eval_tf = jnp.eye(4, dtype=cap_tf.dtype)
+    eval_tf = eval_tf.at[:3, :3].set(Rt)
+    eval_tf = eval_tf.at[:3, 3].set(-Rt @ cap_tf[:3, 3])
+    init_tfs = jnp.einsum("kij,jl->kil", noise_tfs, eval_tf)
+    return _improve_and_raytrace_body(
+        src, src_mask, tgt, tgt_normals, tgt_mask, init_tfs, max_dists,
+        eval_tf, eval_dist, mesh_tri, mesh_tri_mask, ray_dirs, ray_mask,
+        inv_color_to_depth, max_iter)

@@ -114,6 +114,26 @@ def shard_rays(dirs, mask, mesh):
     return jax.device_put(dirs, sh), jax.device_put(mask, sh), n
 
 
+def shard_field_rays(batch, mesh):
+    """Shard an object-field ray minibatch (R,11) over `data` — DP for the
+    neural-object-field train step (SURVEY.md §2.3 "shard ray batches";
+    reference nerf_runner.py:507-585 is single-GPU).
+
+    Each device samples/renders/backprops its ray slice; the per-level
+    hash-table gradient scatters (object_field.hash_grid_encode's custom
+    vjp) stay device-local over the slice, and XLA all-reduces the
+    replicated-parameter gradients over ICI.  R must divide the data axis:
+    the loss is a mean over rays, so padded rows would bias it rather than
+    being benign duplicates.
+    """
+    if batch.shape[0] % mesh.shape["data"]:
+        raise ValueError(
+            f"ray batch of {batch.shape[0]} does not divide the data axis "
+            f"({mesh.shape['data']}); pick n_rand as a multiple"
+        )
+    return jax.device_put(batch, data_sharding(mesh))
+
+
 def shard_hypotheses(poses, mesh):
     """Place a (N,4,4) hypothesis batch sharded over the `data` axis.
 

@@ -286,6 +286,76 @@ def test_capture_event_ctx_matches_no_ctx(rng):
                                        atol=1e-6)
 
 
+def test_capture_event_async_matches_sync(rng):
+    """capture_event_async (device-pose seed + deferred readback) returns the
+    same RegistrationResult and defect points as the sync capture_event
+    seeded with color_to_depth @ mm(pose) — the one-frame-lagged capture
+    pipeline is a pure latency optimization, not a semantics change."""
+    import jax.numpy as jnp
+
+    from sixdof_tpu.app.defect_projection import PinholeCameraIntrinsic, compute_rays
+    from sixdof_tpu.io.mesh_io import PointCloud, TriMesh
+    from sixdof_tpu.ops.lie import euler_matrix as em
+
+    true_tf = euler_matrix(0.15, -0.2, 0.1)
+    true_tf[:3, 3] = [3.0, -8.0, 520.0]
+    source, background = make_scene(rng, true_tf)
+    src_p, _, _ = ip.preprocess_source(source, background, ICP_PARAMS, i=1)
+    target_processed, _ = ip.preprocess_target(
+        PointCloud(make_object_cloud(rng, 2500)), ICP_PARAMS)
+
+    v = np.array([[0, 0, -25.0], [35.0, 0, 0], [-20.0, 25.0, 0], [-20.0, -25.0, 0]])
+    f = np.array([[0, 1, 2], [0, 2, 3], [0, 3, 1], [1, 3, 2]])
+    mesh = TriMesh(v, f)
+    K = PinholeCameraIntrinsic.from_params(160, 120, 300.0, 300.0, 80.0, 60.0)
+    rays, intensities = compute_rays([(80, 60, 1.0), (84, 58, 0.7), (74, 63, 0.5)], K)
+    ray_mask = np.ones(len(rays), dtype=bool)
+    # a non-trivial color->depth extrinsic (mm) like a real two-camera rig
+    c2d = em(0.01, -0.02, 0.005)
+    c2d[:3, 3] = [15.0, -3.0, 4.0]
+
+    init_full = true_tf.copy()
+    init_full[:3, 3] += [1.0, -1.5, 2.0]  # the "tracked + extrinsic" ICP seed
+
+    ctx = ip.CaptureContext(target_processed, mesh, c2d)
+    res_s, pcd_s = ip.capture_event(src_p, target_processed, init_full.copy(),
+                                    ICP_PARAMS, mesh, rays, ray_mask, intensities,
+                                    c2d, n_restarts=5, seed=2, ctx=ctx)
+
+    # recover the tracked pose the async path would have seen: centered-mesh
+    # pose in METERS with tf_to_centered = identity, such that
+    # color_to_depth @ mm(pose) == init_full
+    pose_m = np.linalg.inv(c2d) @ init_full
+    pose_m[:3, 3] /= 1000.0
+    pose_dev = jnp.asarray(pose_m, dtype=jnp.float32)
+    pend = ip.capture_event_async(src_p, pose_dev, np.eye(4), ICP_PARAMS,
+                                  rays, ray_mask, intensities, ctx,
+                                  n_restarts=5, seed=2)
+    res_a, pcd_a = pend.result()
+    assert pend.result() is pend.result()  # cached
+
+    # The restart ICP is seed-chaotic at the 1e-5 level on this smooth shell
+    # (different restarts reach near-equal local minima), so matrix-exact
+    # equality between the f64 host seed and the f32 in-graph seed is not a
+    # meaningful bar.  What must match is the OUTCOME: registration quality
+    # and the resulting object placement (surface/ADD distance between the
+    # two refined poses), at the scene's rmse (~1 mm) scale.
+    assert abs(res_a.fitness - res_s.fitness) < 0.02
+    assert abs(res_a.inlier_rmse - res_s.inlier_rmse) < 0.5
+    obj = make_object_cloud(np.random.RandomState(1), 500)
+    pa = obj @ np.linalg.inv(res_a.transformation)[:3, :3].T \
+        + np.linalg.inv(res_a.transformation)[:3, 3]
+    ps = obj @ np.linalg.inv(res_s.transformation)[:3, :3].T \
+        + np.linalg.inv(res_s.transformation)[:3, 3]
+    add_mm = float(np.linalg.norm(pa - ps, axis=-1).mean())
+    assert add_mm < 2.5, f"async vs sync object placement differs by {add_mm:.2f} mm"
+    # defect hits land on meshes posed ~1 mm apart -> same count, mm-level pts
+    assert abs(len(pcd_a) - len(pcd_s)) <= 1
+    if len(pcd_a) == len(pcd_s) and len(pcd_s):
+        np.testing.assert_allclose(np.asarray(pcd_a.points),
+                                   np.asarray(pcd_s.points), atol=4.0)
+
+
 def test_capture_event_all_masked_rays_yields_empty_pcd(rng):
     """The app's empty-heatmap contract (app/run.py): when no heatmap pixel
     clears the threshold it sends one placeholder ray with ray_mask=False —

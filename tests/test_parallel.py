@@ -286,3 +286,50 @@ def test_sharded_capture_event_matches_single_device():
     hits1 = np.asarray(th1)[:nray]
     np.testing.assert_allclose(np.asarray(th2)[:nray], hits1, atol=1e-4)
     assert np.isfinite(hits1).any()
+
+
+def test_sharded_field_step_matches_single_device():
+    """DP over the object-field ray axis (shard_field_rays): one train step
+    with the batch sharded over 8 virtual devices must reproduce the
+    single-device loss and updated hash table (XLA psums the replicated-
+    param gradients; the per-level scatter backward stays shard-local)."""
+    import optax
+
+    from sixdof_tpu.models.object_field import (
+        HashGridSpec, ObjectFieldConfig, init_field, make_loss_fn,
+    )
+
+    mesh = sh.make_mesh(n_data=8, n_model=1)
+    spec = HashGridSpec(n_levels=2, base_res=8, finest_res=16, level_dim=2,
+                        log2_hashmap_size=10)
+    cfg = ObjectFieldConfig(n_rand=32, n_samples=8, n_samples_around_depth=8,
+                            sh_degree=2)
+    params = init_field(jax.random.PRNGKey(7), spec, n_frames=2,
+                        frame_feat_dim=cfg.frame_feat_dim, sh_degree=cfg.sh_degree)
+    loss_fn = make_loss_fn(cfg, spec, sc=1.0)
+    r = np.random.RandomState(11)
+    R = 32
+    origins = np.tile(np.array([[0.0, 0.0, -1.5]], np.float32), (R, 1))
+    dirs = np.concatenate([r.uniform(-0.2, 0.2, (R, 2)), np.ones((R, 1))],
+                          axis=-1).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    batch = np.concatenate(
+        [origins, dirs, r.rand(R, 3), r.uniform(1.2, 1.8, (R, 1)),
+         (np.arange(R) % 2)[:, None]], axis=-1).astype(np.float32)
+    tx = optax.adam(cfg.lrate)
+
+    def step(params, opt_state, b):
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, b, jax.random.PRNGKey(5))
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    p1, _, l1 = jax.jit(step)(params, tx.init(params), jnp.asarray(batch))
+    rep = sh.replicated(mesh)
+    params_r = jax.device_put(params, rep)
+    opt_r = jax.device_put(tx.init(params_r), rep)
+    p2, _, l2 = jax.jit(step)(params_r, opt_r, sh.shard_field_rays(jnp.asarray(batch), mesh))
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(p2.table), np.asarray(p1.table), atol=1e-5)
+    with pytest.raises(ValueError):
+        sh.shard_field_rays(jnp.asarray(batch[:30]), mesh)  # 30 % 8 != 0
