@@ -111,6 +111,12 @@ class FoundationPose:
 
         self.scorer = scorer if scorer is not None else ScorePredictor()
         self.refiner = refiner if refiner is not None else PoseRefinePredictor()
+        # AOT executables (utils/aot_cache): compiled track/register programs
+        # keyed by shape — loaded from disk in ~0.4-2 s in a fresh process
+        # instead of paying the server-side compile (the axon endpoint never
+        # populates the local jit cache; AOT_EXPERIMENT.json)
+        self._track_exec = {}
+        self._register_exec = {}
         # watertight meshes render identically with backface culling, at half
         # the raster work (ops/rasterize.py; io/mesh_io.py::is_watertight)
         self.refiner.cfg["backface_cull"] = self.backface_cull
@@ -209,27 +215,103 @@ class FoundationPose:
             occ_sub=ref.cfg.get("occ_sub", False),  # False | True | float ceiling — pass verbatim (train/infer gate must match)
         )
 
+    @staticmethod
+    def _shape_sig(tree):
+        """Shape/dtype signature of a pytree — part of every AOT cache key
+        (an executable is only valid for the exact parameter shapes it was
+        compiled for; shape drift falls back to a fresh compile)."""
+        return tuple((tuple(l.shape), str(l.dtype)) for l in jax.tree.leaves(tree))
+
+    def _get_track_exec(self, H, W, iteration):
+        """Compiled track executable for an (H,W) frame: in-process cache ->
+        AOT disk cache -> compile (+store).  Call with the runtime arrays and
+        scalars only — the statics are baked in."""
+        from .models.predict import track_pose_jit
+        from .utils import aot_cache
+
+        ref = self.refiner
+        ck = (H, W, int(iteration))
+        comp = self._track_exec.get(ck)
+        if comp is not None:
+            return comp
+        key = ("track", H, W, int(iteration), tuple(ref.cfg["input_resize"]),
+               bool(ref.cfg["normalize_xyz"]), ref.cfg["trans_rep"],
+               ref.cfg["rot_rep"], self.backface_cull,
+               repr(ref.cfg.get("occ_sub", False)),
+               self._shape_sig(ref.params), self._shape_sig(self.mesh_tensors),
+               self._register_scalar_args())
+        comp = aot_cache.load("track", key)
+        if comp is None:
+            f32 = jnp.float32
+            sd = jax.ShapeDtypeStruct
+            comp = track_pose_jit.lower(
+                ref.model, ref.params, self.mesh_tensors,
+                sd((1, 4, 4), f32), sd((H, W, 5), jnp.uint8), sd((3, 3), f32),
+                *self._register_scalar_args(),
+                iterations=int(iteration),
+                out_hw=tuple(ref.cfg["input_resize"]),
+                normalize_xyz=bool(ref.cfg["normalize_xyz"]),
+                trans_rep=ref.cfg["trans_rep"], rot_rep=ref.cfg["rot_rep"],
+                backface_cull=self.backface_cull,
+                occ_sub=ref.cfg.get("occ_sub", False),
+            ).compile()
+            aot_cache.store("track", key, comp)
+        self._track_exec[ck] = comp
+        return comp
+
+    def _register_aot_key(self, n_hypo, H, W, iteration):
+        ref, sc = self.refiner, self.scorer
+        kw = self._register_pipeline_kwargs(iteration)
+        return ("register", int(n_hypo), H, W, repr(sorted(kw.items())),
+                self._shape_sig(ref.params), self._shape_sig(sc.params),
+                self._shape_sig(self.mesh_tensors), self._register_scalar_args())
+
+    def _get_register_exec(self, n_hypo, H, W, iteration):
+        """Compiled fused-register executable (cascade as one dispatch):
+        in-process cache -> AOT disk cache -> compile (+store)."""
+        from .models.predict import register_pipeline_jit
+        from .utils import aot_cache
+
+        ref, sc = self.refiner, self.scorer
+        ck = (int(n_hypo), H, W, int(iteration))
+        comp = self._register_exec.get(ck)
+        if comp is not None:
+            return comp
+        kw = self._register_pipeline_kwargs(iteration)
+        key = self._register_aot_key(n_hypo, H, W, iteration)
+        comp = aot_cache.load("register", key)
+        if comp is None:
+            f32 = jnp.float32
+            sd = jax.ShapeDtypeStruct
+            comp = register_pipeline_jit.lower(
+                ref.model, ref.params, sc.model, sc.params, self.mesh_tensors,
+                sd((int(n_hypo), 4, 4), f32), sd((H, W, 3), f32),
+                sd((H, W), f32), sd((3, 3), f32),
+                *self._register_scalar_args(), **kw,
+            ).compile()
+            aot_cache.store("register", key, comp)
+        self._register_exec[ck] = comp
+        return comp
+
     def precompile_async(self, K, image_hw, iteration=5, track_iteration=2):
         """Compile the fused register + track programs in background threads.
 
         Cold-start killer (the reference is interactive from process start,
-        run.py:32-41; our fused register program costs ~5 min to compile cold
-        and a few seconds to load from a warm persistent cache): kicking this
-        off right after construction overlaps the compiles with scene/camera/
-        web-server setup.  Two threads with different roles:
+        run.py:32-41).  With a warm AOT disk cache (utils/aot_cache) both
+        programs deserialize in ~0.4-2 s and the threads finish almost
+        immediately; on a cold cache the fused register pays its ~5 min
+        server-side compile here instead of on the first register() call.
+        Two threads with different roles:
 
-        - fused register (the ~5 min cold pole): while it is STILL compiling,
-          register() detours through the staged path — four small programs
-          that cold-compile in ~50 s total (measured: 16.5/11.6/11.2/11.1 s,
-          tools/exp_compile_split.py) and are pinned result-identical to the
-          fused cascade by tests/test_register_pipeline.py.  First-ever pose
-          lands in ~1 min instead of ~5.
+        - fused register (the ~5 min cold-cache pole): while it is STILL
+          compiling, register() detours through the staged path — four small
+          programs that cold-compile in ~50 s total (measured:
+          16.5/11.6/11.2/11.1 s, tools/exp_compile_split.py) and are pinned
+          result-identical to the fused cascade by
+          tests/test_register_pipeline.py.  First-ever pose lands in ~1 min
+          instead of ~5; first-pose-with-AOT-cache in seconds.
         - track program: small; track_one() joins this thread only (never the
           fused one — tracking must not block minutes behind it).
-
-        In-process reuse of lower().compile() results by the normal jit call
-        is load-bearing and was verified on device (tools/profile_compile.py:
-        first register after precompile 1.0-2.7 s).
 
         @K: 3x3 intrinsics (values irrelevant — only shape/dtype matter).
         @image_hw: (H, W) of the frames register()/track_one() will see.
@@ -241,25 +323,14 @@ class FoundationPose:
 
         H, W = int(image_hw[0]), int(image_hw[1])
         n = len(self.rot_grid)
-        ref = self.refiner
-        f32 = jnp.float32
-        sd = jax.ShapeDtypeStruct
 
         def _work_fused():
             try:
                 import time as _time
 
-                from .models.predict import register_pipeline_jit
-
                 logging.info("precompile: fused register compile started")
                 _t0 = _time.perf_counter()
-                register_pipeline_jit.lower(
-                    ref.model, ref.params, self.scorer.model, self.scorer.params,
-                    self.mesh_tensors, sd((n, 4, 4), f32), sd((H, W, 3), f32),
-                    sd((H, W), f32), sd((3, 3), f32),
-                    *self._register_scalar_args(),
-                    **self._register_pipeline_kwargs(iteration),
-                ).compile()
+                self._get_register_exec(n, H, W, iteration)
                 logging.info(f"precompile: fused register ready "
                              f"({_time.perf_counter() - _t0:.1f}s)")
             except Exception as e:  # pragma: no cover - diagnostics only
@@ -267,19 +338,7 @@ class FoundationPose:
 
         def _work_track():
             try:
-                from .models.predict import track_pose_jit
-
-                track_pose_jit.lower(
-                    ref.model, ref.params, self.mesh_tensors,
-                    sd((1, 4, 4), f32), sd((H, W, 5), jnp.uint8), sd((3, 3), f32),
-                    *self._register_scalar_args(),
-                    iterations=int(track_iteration),
-                    out_hw=tuple(ref.cfg["input_resize"]),
-                    normalize_xyz=bool(ref.cfg["normalize_xyz"]),
-                    trans_rep=ref.cfg["trans_rep"], rot_rep=ref.cfg["rot_rep"],
-                    backface_cull=self.backface_cull,
-                    occ_sub=ref.cfg.get("occ_sub", False),  # False | True | float ceiling — pass verbatim (train/infer gate must match)
-                ).compile()
+                self._get_track_exec(H, W, track_iteration)
             except Exception as e:  # pragma: no cover - diagnostics only
                 logging.warning(f"track precompile failed (non-fatal): {e}")
 
@@ -362,6 +421,17 @@ class FoundationPose:
             poses, n_hypo = shard_hypotheses(jnp.asarray(poses, dtype=jnp.float32),
                                              self.device_mesh)
 
+        if self.device_mesh is None and self._fused_register_pending():
+            # a serialized executable on disk means the background thread is
+            # seconds from ready (deserialize, not compile) — join briefly
+            # rather than paying the ~50 s staged-path compile detour
+            from .utils import aot_cache
+
+            if aot_cache.has("register",
+                             self._register_aot_key(n_hypo, self.H, self.W, iteration)):
+                logging.info("register: AOT artifact on disk; joining precompile")
+                self._precompile_fused_thread.join(timeout=60)
+
         if self.device_mesh is None and self.debug < 2 \
                 and not self._fused_register_pending():
             # fused register: the whole coarse->prune->refine->score cascade
@@ -375,13 +445,27 @@ class FoundationPose:
             ref, sc = self.refiner, self.scorer
             rgb01 = to_rgb01(rgb)
             logging.info("register: fused path")
-            poses_sorted, scores_sorted = register_pipeline_jit(
-                ref.model, ref.params, sc.model, sc.params, self.mesh_tensors,
-                jnp.asarray(poses, dtype=jnp.float32), rgb01, depth,
-                jnp.asarray(K, dtype=jnp.float32),
-                *self._register_scalar_args(),
-                **self._register_pipeline_kwargs(iteration),
-            )
+            try:
+                comp = self._get_register_exec(n_hypo, self.H, self.W, iteration)
+                # statics are baked into the executable; pass runtime
+                # arrays/scalars + the one non-static kwarg
+                poses_sorted, scores_sorted = comp(
+                    ref.params, sc.params, self.mesh_tensors,
+                    jnp.asarray(poses, dtype=jnp.float32), rgb01, depth,
+                    jnp.asarray(K, dtype=jnp.float32),
+                    *self._register_scalar_args(),
+                    score_crop_ratio=float(sc.cfg["crop_ratio"]),
+                )
+            except TypeError as e:  # arg-structure drift: never take the app down
+                logging.warning(f"register AOT executable mismatch ({e}); "
+                                "falling back to jit")
+                poses_sorted, scores_sorted = register_pipeline_jit(
+                    ref.model, ref.params, sc.model, sc.params, self.mesh_tensors,
+                    jnp.asarray(poses, dtype=jnp.float32), rgb01, depth,
+                    jnp.asarray(K, dtype=jnp.float32),
+                    *self._register_scalar_args(),
+                    **self._register_pipeline_kwargs(iteration),
+                )
             poses_np = np.asarray(poses_sorted)
             scores_np = np.asarray(scores_sorted)
             logging.info(f"sorted scores (top5): {scores_np[:5]}")
@@ -607,19 +691,30 @@ class FoundationPose:
             pose_last_dev = jnp.asarray(
                 np.asarray(self.pose_last).reshape(1, 4, 4), dtype=jnp.float32)
         self._join_precompile()
-        pose, _depth_filtered = track_pose_jit(
-            ref.model, ref.params, self.mesh_tensors,
-            pose_last_dev,
-            jnp.asarray(rgbd),
-            jnp.asarray(K_use, dtype=jnp.float32), float(self.diameter),
-            float(ref.cfg["crop_ratio"]), float(ref.cfg["trans_normalizer"]),
-            float(ref.cfg["rot_normalizer"]), iterations=int(iteration),
-            out_hw=tuple(ref.cfg["input_resize"]),
-            normalize_xyz=bool(ref.cfg["normalize_xyz"]),
-            trans_rep=ref.cfg["trans_rep"], rot_rep=ref.cfg["rot_rep"],
-            backface_cull=self.backface_cull,
-            occ_sub=ref.cfg.get("occ_sub", False),  # False | True | float ceiling — pass verbatim (train/infer gate must match)
-        )
+        try:
+            comp = self._get_track_exec(int(rgbd.shape[0]), int(rgbd.shape[1]),
+                                        int(iteration))
+            pose, _depth_filtered = comp(
+                ref.params, self.mesh_tensors, pose_last_dev,
+                jnp.asarray(rgbd), jnp.asarray(K_use, dtype=jnp.float32),
+                *self._register_scalar_args(),
+            )
+        except TypeError as e:  # arg-structure drift: never take the app down
+            logging.warning(f"track AOT executable mismatch ({e}); "
+                            "falling back to jit")
+            pose, _depth_filtered = track_pose_jit(
+                ref.model, ref.params, self.mesh_tensors,
+                pose_last_dev,
+                jnp.asarray(rgbd),
+                jnp.asarray(K_use, dtype=jnp.float32), float(self.diameter),
+                float(ref.cfg["crop_ratio"]), float(ref.cfg["trans_normalizer"]),
+                float(ref.cfg["rot_normalizer"]), iterations=int(iteration),
+                out_hw=tuple(ref.cfg["input_resize"]),
+                normalize_xyz=bool(ref.cfg["normalize_xyz"]),
+                trans_rep=ref.cfg["trans_rep"], rot_rep=ref.cfg["rot_rep"],
+                backface_cull=self.backface_cull,
+                occ_sub=ref.cfg.get("occ_sub", False),
+            )
         logging.info("pose done")
         if self.debug >= 2:
             xyz_map = depth2xyzmap(_depth_filtered, jnp.asarray(K, dtype=jnp.float32))

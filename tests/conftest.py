@@ -8,6 +8,7 @@ import os
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # hard override: the session env pins the TPU platform
+os.environ["SIXDOF_AOT_CACHE"] = ""  # no executable-cache writes from tests
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
