@@ -91,10 +91,16 @@ def preprocess_target(pcd: PointCloud, param):
 
 
 @timeit
-def preprocess_source(pcd: PointCloud, background: PointCloud, param, i=0):
+def preprocess_source(pcd: PointCloud, background: PointCloud, param, i=0,
+                      near_point=None, near_radius=None):
     """Scene-cloud cleanup: downsample, plane removal, background removal,
     largest-cluster, outlier removal.  Mirrors reference
     src/pose_estimation.py:187-268 step for step.
+
+    @near_point/@near_radius: optional expected object position (mm) — the
+    cluster step then keeps the cluster AT the object instead of the
+    largest one (ops/pointcloud.py::filter_largest_cluster), which matters
+    when an occluder cluster outweighs the half-hidden target.
     """
     params = param["preprocess_source"]
     down_sample = 5 if i > 0 else params["down_sample"]
@@ -155,7 +161,8 @@ def preprocess_source(pcd: PointCloud, background: PointCloud, param, i=0):
             n_points=ms.get("number_of_points", 3000),
         )
         pc.estimate_normals(source_processed, radius=2, max_nn=5)
-    largest = pc.filter_largest_cluster(source_processed)
+    largest = pc.filter_largest_cluster(source_processed, near_point=near_point,
+                                        near_radius=near_radius)
     if largest is not None:
         source_processed = largest
     source_processed = pc.remove_statistical_outliers(
@@ -598,7 +605,11 @@ def refine_pose_with_icp(source, target, background, initial_fp_transformation, 
     target.paint_uniform_color([0, 0, 1])
 
     target_processed, _ = preprocess_target(target, param)
-    source_processed, _, _ = preprocess_source(source, background, param)
+    tb = target.points.max(axis=0) - target.points.min(axis=0)
+    source_processed, _, _ = preprocess_source(
+        source, background, param,
+        near_point=initial_fp_transformation[:3, 3],
+        near_radius=0.75 * float(np.linalg.norm(tb)))
 
     clouds = _DeviceClouds(source_processed, target_processed)
 
@@ -672,7 +683,14 @@ def determine_pose(source, target, background, initial_fp_transformation, parame
     target.paint_uniform_color([0, 0, 1])
     start_time_total = time.perf_counter()
     target_processed, target_fpfh = preprocess_target(target, param)
-    source_processed, _, source_fpfh = preprocess_source(source, background, param)
+    if icp:
+        near, nr = None, None  # global registration has no prior pose
+    else:
+        tb = target.points.max(axis=0) - target.points.min(axis=0)
+        near = np.asarray(initial_fp_transformation)[:3, 3]
+        nr = 0.75 * float(np.linalg.norm(tb))
+    source_processed, _, source_fpfh = preprocess_source(
+        source, background, param, near_point=near, near_radius=nr)
 
     if icp:
         result_icp, result_ransac = run_icp(

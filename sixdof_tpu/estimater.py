@@ -55,7 +55,7 @@ class FoundationPose:
                  scorer: ScorePredictor = None, refiner: PoseRefinePredictor = None,
                  glctx=None, debug=0, debug_dir="debug/fp", prune_to=None,
                  device_mesh=None, coarse_hw=(96, 96), prune_schedule=None,
-                 track_crop=True, polish_top=0, polish_iters=2):
+                 track_crop=True, polish_top=0, polish_iters=2, depth_polish=True):
         """@prune_to: optional coarse-to-fine registration — after 2 refine
         iterations over the full rotation grid, keep only the prune_to
         best-scoring hypotheses for the remaining iterations (roughly halves
@@ -75,7 +75,17 @@ class FoundationPose:
         them alongside the originals (models/predict.py cascade polish).
         The cascade's survivors start 30 deg apart, so the winner usually
         sits at the edge of the refiner's basin; polishing the best few is
-        nearly free relative to the full-grid stages.  0 disables."""
+        nearly free relative to the full-grid stages.  0 disables.
+        @depth_polish: after the cascade picks its top pose, refine it with a
+        coarse-then-fine point-to-plane ICP of the masked observed cloud
+        against the model cloud (ops/icp.py::icp_polish_two_pass, one extra
+        dispatch).  The learned refiner's clutter basin bottoms out at
+        ~10-15 deg (crop-space scoring cannot separate nearer poses — the
+        support-fraction silhouette bias measured in round 5); the depth
+        polish closes that to ~0 deg on clutter and box without touching the
+        learned weights.  Purely local: it cannot flip a symmetric pose.
+        The reference has no counterpart (its register output goes straight
+        to the app's ICP stage, estimater.py:157-238)."""
         self.gt_pose = None
         self.ignore_normal_flip = True
         self.prune_to = prune_to
@@ -83,6 +93,7 @@ class FoundationPose:
             if prune_schedule else None
         self.polish_top = int(polish_top or 0)
         self.polish_iters = int(polish_iters or 0)
+        self.depth_polish = bool(depth_polish)
         self.coarse_hw = tuple(coarse_hw) if coarse_hw is not None else None
         self.device_mesh = device_mesh
         self.debug = debug
@@ -148,6 +159,17 @@ class FoundationPose:
         self.pts = jnp.asarray(pcd.points, dtype=jnp.float32)
         nrm = pcd.normals / np.clip(np.linalg.norm(pcd.normals, axis=-1, keepdims=True), 1e-12, None)
         self.normals = jnp.asarray(nrm, dtype=jnp.float32)
+        # padded device target for register()'s depth polish: a DENSE surface
+        # sampling (centered frame).  The voxel-downsampled self.pts (spacing
+        # ~= the polish's fine threshold) is too sparse — correspondence
+        # quantization then biases the ICP optimum several degrees off
+        # (measured: polishing an exact pose drifted it to 4.5 deg)
+        dense = mesh.sample_points(16384, seed=0)
+        tgt_p = dense.points.astype(np.float32)
+        tn_p = dense.normals.astype(np.float32)
+        self._polish_tgt = jnp.asarray(tgt_p)
+        self._polish_tn = jnp.asarray(tn_p)
+        self._polish_tmask = jnp.ones((len(tgt_p),), dtype=bool)
         self.mesh = mesh
         self.mesh_tensors = make_mesh_arrays(mesh)
         # closed + consistently wound is necessary but not sufficient: the
@@ -365,6 +387,64 @@ class FoundationPose:
             logging.info("waiting for background track precompile")
             t.join()
 
+    def _depth_polish(self, top_pose_centered, depth_np, ob_mask, K):
+        """Refine the cascade's top pose against the masked observed cloud
+        (coarse-then-fine point-to-plane ICP, one device dispatch).  Local
+        only — cannot flip a symmetric pose; returns the input unchanged if
+        the masked cloud is degenerate.  See __init__ @depth_polish."""
+        from .ops.icp import icp_polish_two_pass
+
+        vs, us = np.where((np.asarray(ob_mask) > 0) & (depth_np > 0.001))
+        if len(us) < 64:
+            return top_pose_centered
+        Kn = np.asarray(K, dtype=np.float64)
+        # visibility gate: under heavy occlusion the masked cloud covers only
+        # a fraction of the object, and its depth optimum slides the pose
+        # into the visible part — the r5 parity run measured the downstream
+        # mm-ICP then diverging 35 mm on the 57%-occluded scene.  Estimate
+        # the expected silhouette area by projecting the model cloud at the
+        # top pose and skip the polish when the mask covers < 60% of it.
+        p = np.asarray(top_pose_centered, dtype=np.float64)
+        pc = np.asarray(self.pts) @ p[:3, :3].T + p[:3, 3]
+        z = np.maximum(pc[:, 2], 1e-6)
+        uu = np.clip(np.round(Kn[0, 0] * pc[:, 0] / z + Kn[0, 2]), 0, depth_np.shape[1] - 1)
+        vv = np.clip(np.round(Kn[1, 1] * pc[:, 1] / z + Kn[1, 2]), 0, depth_np.shape[0] - 1)
+        # dilate model pixels to the voxel footprint so sparse points
+        # approximate the filled silhouette
+        px_per_vox = float(max(Kn[0, 0], Kn[1, 1])) * self.vox_size / float(np.median(z))
+        proj_area = len(set(zip(uu.astype(int) // max(1, int(px_per_vox)),
+                                vv.astype(int) // max(1, int(px_per_vox))))) \
+            * max(1, int(px_per_vox)) ** 2
+        # bucket-dilated projection overestimates the silhouette ~1.3-1.7x
+        # (edge points claim whole buckets), so the gate sits at 40%: the
+        # 57%-occluded scene reads ~32% (skip), a conservative Otsu mask on a
+        # fully visible object reads ~45-50% (polish)
+        if len(us) < 0.4 * proj_area:
+            logging.info(f":: depth polish skipped (mask {len(us)} px < 40% of "
+                         f"projected ~{proj_area} px — heavy occlusion)")
+            return top_pose_centered
+        z = depth_np[vs, us]
+        pts = np.stack([(us - Kn[0, 2]) * z / Kn[0, 0],
+                        (vs - Kn[1, 2]) * z / Kn[1, 1], z], axis=-1).astype(np.float32)
+        if len(pts) > 8192:
+            pts = pts[np.random.RandomState(0).choice(len(pts), 8192, replace=False)]
+        spad = 1 << int(np.ceil(np.log2(max(len(pts), 1024))))
+        src = np.zeros((spad, 3), np.float32)
+        src[: len(pts)] = pts
+        smask = np.zeros(spad, bool)
+        smask[: len(pts)] = True
+        init = np.linalg.inv(np.asarray(top_pose_centered, dtype=np.float64)).astype(np.float32)
+        d = float(self.diameter)
+        # finest pass floored at 4 mm: below typical sensor depth noise the
+        # point-to-plane optimum chases noise (measured +4 deg on the sensor
+        # scene with an unfloored 0.025d pass)
+        tf = icp_polish_two_pass(
+            jnp.asarray(src), jnp.asarray(smask), self._polish_tgt,
+            self._polish_tn, self._polish_tmask, jnp.asarray(init),
+            0.1 * d, 0.05 * d, max(0.02 * d, 0.004),
+        )
+        return np.linalg.inv(np.asarray(tf, dtype=np.float64))
+
     def guess_translation(self, depth, mask, K):
         """Mask-center backprojection at median masked depth
         (reference estimater.py:135-154)."""
@@ -469,6 +549,9 @@ class FoundationPose:
             poses_np = np.asarray(poses_sorted)
             scores_np = np.asarray(scores_sorted)
             logging.info(f"sorted scores (top5): {scores_np[:5]}")
+            if self.depth_polish:
+                poses_np = poses_np.copy()
+                poses_np[0] = self._depth_polish(poses_np[0], depth_np, ob_mask, K)
             best_pose = poses_np[0] @ self.get_tf_to_centered_mesh()
             self.pose_last = poses_np[0]
             self._crop_pose_host = np.asarray(poses_np[0], dtype=np.float64)
@@ -560,6 +643,9 @@ class FoundationPose:
         ids = np.argsort(-scores_np)
         poses_np = poses_np[ids]
         logging.info(f"sorted scores (top5): {scores_np[ids][:5]}")
+        if self.depth_polish:
+            poses_np = poses_np.copy()
+            poses_np[0] = self._depth_polish(poses_np[0], depth_np, ob_mask, K)
 
         best_pose = poses_np[0] @ self.get_tf_to_centered_mesh()
         self.pose_last = poses_np[0]

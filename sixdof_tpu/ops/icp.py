@@ -244,6 +244,29 @@ def improve_and_raytrace(src, src_mask, tgt, tgt_normals, tgt_mask, init_tfs, ma
         inv_color_to_depth, max_iter)
 
 
+@functools.partial(jax.jit, static_argnames=("it1", "it2", "it3"))
+def icp_polish_two_pass(src, src_mask, tgt, tgt_normals, tgt_mask, init_tf,
+                        thr1, thr2, thr3=None, it1=10, it2=10, it3=10):
+    """Coarse-then-fine point-to-plane polish as ONE dispatch.
+
+    Register's depth polish (estimater.register depth_polish): the learned
+    cascade's top pose is refined against the masked observed cloud — a
+    wide first pass absorbs the net's ~10-15 deg residual, tighter passes
+    lock sub-degree alignment; the caller floors the finest threshold at
+    the sensor noise so noise cannot dominate.
+    @init_tf: (4,4) source->target.  Returns the refined (4,4).
+    """
+    r1 = icp_point_to_plane(src, src_mask, tgt, tgt_normals, tgt_mask,
+                            init_tf, thr1, max_iter=it1)
+    r2 = icp_point_to_plane(src, src_mask, tgt, tgt_normals, tgt_mask,
+                            r1.transformation, thr2, max_iter=it2)
+    if thr3 is None:
+        return r2.transformation
+    r3 = icp_point_to_plane(src, src_mask, tgt, tgt_normals, tgt_mask,
+                            r2.transformation, thr3, max_iter=it3)
+    return r3.transformation
+
+
 @functools.partial(jax.jit, static_argnames=("max_iter",))
 def capture_from_pose(src, src_mask, tgt, tgt_normals, tgt_mask,
                       pose_dev, tf_to_centered, color_to_depth, noise_tfs, max_dists,

@@ -227,9 +227,20 @@ def dbscan_labels(points, eps, min_points):
     return labels
 
 
-def filter_largest_cluster(pcd: PointCloud, eps=10.0, min_points=10):
+def filter_largest_cluster(pcd: PointCloud, eps=10.0, min_points=10,
+                           near_point=None, near_radius=None):
     """Keep only the largest DBSCAN cluster
-    (reference src/pose_estimation.py:270-299)."""
+    (reference src/pose_estimation.py:270-299).
+
+    @near_point: optional (3,) expected object position — when given, the
+    cluster is chosen by most points within @near_radius of it instead of by
+    raw size.  The reference's size heuristic silently keeps an OCCLUDER
+    when it is larger/closer than the half-hidden target (measured: the
+    57%-occluded eval scene's preprocess kept 436 occluder points at
+    z=441 mm and dropped the object at z=550, zeroing every downstream ICP
+    fitness); callers that know the initial pose pass its translation.
+    Falls back to the largest cluster when nothing is within the radius.
+    """
     if len(pcd) == 0:
         return pcd
     labels = dbscan_labels(pcd.points, eps, min_points)
@@ -237,8 +248,27 @@ def filter_largest_cluster(pcd: PointCloud, eps=10.0, min_points=10):
     if len(valid) == 0:
         logging.info("No valid clusters found.")
         return None
-    largest = np.bincount(valid).argmax()
-    return pcd.select_by_index(np.where(labels == largest)[0])
+    pick = None
+    if near_point is not None:
+        near_point = np.asarray(near_point, dtype=np.float64).reshape(3)
+        r = float(near_radius) if near_radius else 100.0
+        # nearest CENTROID wins (a count-within-radius rule still prefers a
+        # big occluder that merely grazes the radius); specks below 5% of
+        # the clustered points are not eligible
+        sizes = np.bincount(valid)
+        best_d = np.inf
+        for lab in np.nonzero(sizes >= max(10, 0.05 * len(valid)))[0]:
+            c = pcd.points[labels == lab].mean(axis=0)
+            d = float(np.linalg.norm(c - near_point))
+            if d < best_d:
+                best_d, pick = d, int(lab)
+        if pick is None or best_d > r:
+            logging.info(":: no sizeable cluster near the expected object "
+                         "position; keeping the largest")
+            pick = None
+    if pick is None:
+        pick = np.bincount(valid).argmax()
+    return pcd.select_by_index(np.where(labels == pick)[0])
 
 
 def remove_statistical_outliers(pcd: PointCloud, nb_neighbors=20, std_ratio=1.0) -> PointCloud:

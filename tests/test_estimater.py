@@ -333,3 +333,33 @@ def test_precompile_async_then_register(small_estimator, scene_dir):
         gate.set()
         blocker.join(timeout=60)
     np.testing.assert_allclose(pose_staged, baseline, atol=1e-4)
+
+
+def test_depth_polish_recovers_rotation(small_estimator, scene_dir):
+    """register()'s depth polish (icp_polish_two_pass of the masked observed
+    cloud against the model cloud) pulls a ~10-deg-perturbed pose to the
+    depth optimum — the lever that closes the learned cascade's clutter
+    rank0 residual without retraining."""
+    from sixdof_tpu.metrics import rotation_angle_deg
+    from sixdof_tpu.ops.lie import euler_matrix
+
+    est = small_estimator
+    reader = _read_frame(scene_dir)
+    depth = reader.get_depth(0)
+    K = reader.color_K
+    gt = reader.get_gt_pose(0)
+    mask = (depth > 0.001)
+    # GT in the CENTERED-mesh frame, perturbed by ~10 deg + a few mm
+    gt_c = gt @ np.linalg.inv(est.get_tf_to_centered_mesh())
+    noise = euler_matrix(0.12, -0.08, 0.1)
+    noise[:3, 3] = [0.004, -0.003, 0.002]
+    perturbed = gt_c @ noise
+    r_before = rotation_angle_deg(perturbed[:3, :3], gt_c[:3, :3])
+    assert r_before > 8.0
+    polished = est._depth_polish(perturbed, np.asarray(depth), mask, K)
+    r_after = rotation_angle_deg(polished[:3, :3], gt_c[:3, :3])
+    assert r_after < 2.0, f"polish left {r_after:.2f} deg (was {r_before:.2f})"
+    # degenerate mask: returns the input unchanged
+    empty = np.zeros_like(mask)
+    same = est._depth_polish(perturbed, np.asarray(depth), empty, K)
+    np.testing.assert_array_equal(same, perturbed)
