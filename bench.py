@@ -413,10 +413,11 @@ def main():
             fi = 1 + (i % (n - 1))
             c = reader.get_color(fi)
             d = reader.get_depth(fi)
-            out = est.track_one(rgb=c, depth=d, K=reader.color_K, iteration=2,
-                                sync=False)
-            advance_capture()  # one capture-pipeline stage per frame
-            if (i % CAPTURE_EVERY) == CAPTURE_EVERY - 1:
+            is_cap = (i % CAPTURE_EVERY) == CAPTURE_EVERY - 1
+            th = box = None
+            if is_cap:
+                # start the host preprocess BEFORE the track dispatch: the
+                # worker gets the whole tunnel-bound dispatch+wait to run
                 box = {}
 
                 def work(fi=fi, box=box):
@@ -426,6 +427,10 @@ def main():
 
                 th = threading.Thread(target=work)
                 th.start()
+            out = est.track_one(rgb=c, depth=d, K=reader.color_K, iteration=2,
+                                sync=False)
+            advance_capture()  # one capture-pipeline stage per frame
+            if is_cap:
                 cap_stage = ("preproc", th, box, out)
             pending.append(out)
             while len(pending) > PIPE_DEPTH:

@@ -122,6 +122,7 @@ def main(args):
         polish_top=int(getattr(args, "polish_top", 0) or 0),
         polish_iters=int(getattr(args, "polish_iters", 2) or 0),
         depth_polish=bool(getattr(args, "depth_polish", 1)),
+        track_polish=bool(getattr(args, "track_polish", 1)),
     )
     if args.max_hypotheses and len(est.rot_grid) > args.max_hypotheses:
         step = len(est.rot_grid) // args.max_hypotheses
@@ -489,6 +490,10 @@ def build_parser():
                              "point-to-plane ICP of the masked observed cloud "
                              "against the model (1 = on; closes the learned "
                              "cascade's ~10-15 deg clutter residual to ~0)")
+    parser.add_argument("--track_polish", type=int, default=1,
+                        help="fuse the same depth polish into the per-frame "
+                             "track program (in-graph, no extra dispatch; "
+                             "halves clutter tracking drift)")
     return parser
 
 

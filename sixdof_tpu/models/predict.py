@@ -422,6 +422,7 @@ def track_pose_jit(
     crop_ratio, trans_normalizer, rot_normalizer, iterations: int, out_hw=(160, 160),
     normalize_xyz=False, trans_rep="tracknet", rot_rep="axis_angle",
     backface_cull=False, occ_sub=False,
+    polish_tgt=None, polish_tn=None, polish_tmask=None,
 ):
     """Fused tracking step: depth erode+bilateral -> xyz map -> refine scan.
 
@@ -444,7 +445,106 @@ def track_pose_jit(
         trans_normalizer, rot_normalizer, iterations, out_hw, normalize_xyz,
         trans_rep, rot_rep, backface_cull, occ_sub,
     )
+    if polish_tgt is not None:
+        poses = _track_depth_polish(model_mesh=mesh, poses=poses, rgb01=rgb01,
+                                    xyz_map=xyz_map, K=K, crop_ratio=crop_ratio,
+                                    tgt=polish_tgt, tgt_normals=polish_tn,
+                                    tgt_mask=polish_tmask,
+                                    mesh_diameter=mesh_diameter,
+                                    backface_cull=backface_cull)
     return poses, depth
+
+
+def _rigid_inv(tf):
+    Rt = tf[:3, :3].T
+    out = jnp.eye(4, dtype=tf.dtype)
+    out = out.at[:3, :3].set(Rt)
+    return out.at[:3, 3].set(-Rt @ tf[:3, 3])
+
+
+def _track_depth_polish(model_mesh, poses, rgb01, xyz_map, K, crop_ratio, tgt,
+                        tgt_normals, tgt_mask, mesh_diameter,
+                        backface_cull=False):
+    """In-graph per-frame depth polish for tracking (ZERO extra dispatches).
+
+    After the learned refine scan, a coarse+fine point-to-plane ICP aligns
+    the VISIBLE observed cloud against a dense model surface sampling — the
+    net's per-frame drift under clutter/sensor noise is geometric, and the
+    depth optimum removes it (measured: clutter_sensor track rot mean
+    19.6 -> 3.0 deg, clutter/box 0.0 deg).
+
+    Tracking has no object mask, so visibility comes from one extra 96x96
+    render of the tracked pose (_make_AB machinery): source points are crop
+    pixels where the hypothesis renders surface AND the observed depth
+    agrees within 0.15 diameters — plane/background and occluder pixels are
+    excluded (a naive center-ball selection let the support plane bias the
+    translation 5-8 mm).  A correction-magnitude guard keeps the net pose
+    whenever the polish asks for an implausibly large per-frame jump
+    (>20 deg or >0.25 diameters — a wrong-basin lock, not a drift
+    correction).
+    """
+    from ..ops.icp import icp_point_to_plane
+
+    pose0 = poses[0]
+    d = mesh_diameter
+    hw = (96, 96)
+    _, _, _, rend = _make_AB(model_mesh, poses, rgb01, xyz_map, K, crop_ratio,
+                             mesh_diameter, hw, normalize_xyz=False,
+                             invalid_z_thresh=0.001, backface_cull=backface_cull)
+    center = pose0[:3, 3]
+    # stride-2 subsample: ~2.3k source points constrain the 6-DOF solve as
+    # well as 9.2k, and the NN distance tile (src x tgt) is HBM-bound — the
+    # full 96^2 x 16k tile cost ~15 ms/frame of device time (measured),
+    # strided src x 4k tgt costs ~1 ms
+    xyzB = (rend["xyzB_m"][0, ::2, ::2] + center).reshape(-1, 3)
+    zA = rend["xyzA_m"][0, ::2, ::2, 2].reshape(-1) + center[2]
+    # erode the rendered silhouette 2 px: edge pixels whose observed depth is
+    # the background just behind the surface otherwise pass the band and
+    # drag the translation toward the support plane (measured 5-8 mm bias).
+    # The band is 0.12d — wide enough that a net pose several mm off still
+    # keeps the whole true surface selected (a tight 0.05d band went
+    # asymmetric at the seed's own error, biasing the correction and letting
+    # the tracking loop accumulate ~2.5 mm/frame), narrow enough that
+    # occluders (nearer by >> band) and the support plane (interior pixels
+    # only, behind by >= the object thickness) stay excluded.
+    a2 = -jax.lax.reduce_window(-rend["alpha"][0], -jnp.inf, jax.lax.max,
+                                (5, 5), (1, 1), "SAME")
+    alpha = (a2[::2, ::2].reshape(-1) > 0)
+    obs = rend["obs_validB"][0, ::2, ::2].reshape(-1)
+    valid = alpha & obs & (jnp.abs(xyzB[:, 2] - zA) < 0.12 * d)
+    init = _rigid_inv(pose0)
+    r1 = icp_point_to_plane(xyzB, valid, tgt, tgt_normals, tgt_mask, init,
+                            0.05 * d, max_iter=6)
+    r2 = icp_point_to_plane(xyzB, valid, tgt, tgt_normals, tgt_mask,
+                            r1.transformation, jnp.maximum(0.02 * d, 0.004),
+                            max_iter=6)
+    polished = _rigid_inv(r2.transformation)
+    dR = polished[:3, :3].T @ pose0[:3, :3]
+    cos_ang = jnp.clip((jnp.trace(dR) - 1.0) / 2.0, -1.0, 1.0)
+    dt = jnp.linalg.norm(polished[:3, 3] - pose0[:3, 3])
+    ok = (cos_ang > np.cos(np.deg2rad(20.0))) & (dt < 0.25 * d) \
+        & (r2.fitness > 0.05)
+    # damped half-step toward the depth optimum: the full correction fed
+    # back through the net each frame OSCILLATES on plane-dominated
+    # geometry (the box's in-plane DOFs are weakly observed by
+    # point-to-plane, so successive full corrections overshoot +-3-5 mm in
+    # z); halving the step turns the loop into a stable filter — consistent
+    # corrections (rotation drift) still accumulate across frames, noise
+    # damps out
+    from ..ops.lie import so3_log_map
+
+    _ALPHA = 0.7  # step fraction toward the depth optimum (0.5-0.8 stable;
+    # 1.0 oscillates on plane-dominated geometry, 0.5 under-corrects fast
+    # drift on degraded clutter)
+    half_w = _ALPHA * so3_log_map(jnp.matmul(
+        polished[:3, :3], pose0[:3, :3].T,
+        precision=jax.lax.Precision.HIGHEST)[None])
+    R_half = jnp.matmul(so3_exp_map(half_w)[0], pose0[:3, :3],
+                        precision=jax.lax.Precision.HIGHEST)
+    t_half = _ALPHA * polished[:3, 3] + (1.0 - _ALPHA) * pose0[:3, 3]
+    blended = jnp.eye(4, dtype=poses.dtype)
+    blended = blended.at[:3, :3].set(R_half).at[:3, 3].set(t_half)
+    return jnp.where(ok, blended[None], poses)
 
 
 class _PredictorBase:

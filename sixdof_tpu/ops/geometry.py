@@ -6,6 +6,7 @@ TPU-native equivalents of the reference's geometry utilities
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -31,7 +32,11 @@ def transform_pts(pts, tf):
     """
     if tf.ndim >= 3 and tf.ndim >= pts.ndim:
         tf = tf[..., None, :, :]
-    return (tf[..., :-1, :-1] @ pts[..., None] + tf[..., :-1, -1:])[..., 0]
+    # metric positions: full-fp32 matmul (TPU's default bf16 passes cost
+    # ~0.4% = millimeters at scene scale)
+    return (jnp.matmul(tf[..., :-1, :-1], pts[..., None],
+                       precision=jax.lax.Precision.HIGHEST)
+            + tf[..., :-1, -1:])[..., 0]
 
 
 def transform_dirs(dirs, tf):
@@ -39,7 +44,8 @@ def transform_dirs(dirs, tf):
     in transform_pts (rank-based)."""
     if tf.ndim >= 3 and tf.ndim >= dirs.ndim:
         tf = tf[..., None, :, :]
-    return (tf[..., :3, :3] @ dirs[..., None])[..., 0]
+    return (jnp.matmul(tf[..., :3, :3], dirs[..., None],
+                       precision=jax.lax.Precision.HIGHEST))[..., 0]
 
 
 def depth2xyzmap(depth, K, zfar=jnp.inf):

@@ -27,6 +27,11 @@ import jax.numpy as jnp
 
 from .lie import so3_exp_map
 
+# All matmuls here carry METRIC positions/residuals; the TPU default (bf16
+# passes) costs ~0.4% relative = several mm at 0.5 m scale and was measured
+# biasing the track depth polish 7 mm from an exact pose.  Pin full fp32.
+_HI = jax.lax.Precision.HIGHEST
+
 _NN_CHUNK = 1024
 
 
@@ -50,7 +55,7 @@ def nearest_neighbors(query, ref, ref_mask):
         d2 = (
             jnp.sum(q * q, axis=-1, keepdims=True)
             + ref_sq[None]
-            - 2.0 * q @ ref.T
+            - 2.0 * jnp.matmul(q, ref.T, precision=_HI)
         )
         d2 = jnp.where(ref_mask[None], d2, big)
         idx = jnp.argmin(d2, axis=-1)
@@ -68,7 +73,7 @@ def nearest_neighbors(query, ref, ref_mask):
 
 
 def _apply(tf, pts):
-    return pts @ tf[:3, :3].T + tf[:3, 3]
+    return jnp.matmul(pts, tf[:3, :3].T, precision=_HI) + tf[:3, 3]
 
 
 def evaluate_registration(src, src_mask, tgt, tgt_mask, tf, max_dist):
@@ -115,14 +120,14 @@ def icp_point_to_plane(
         r = jnp.sum((sp - q) * n, axis=-1)  # (N,) signed plane distance
         J = jnp.concatenate([jnp.cross(sp, n), n], axis=-1)  # (N,6)
         Jw = J * w[:, None]
-        A = Jw.T @ J  # (6,6)
-        b = Jw.T @ r  # (6,)
+        A = jnp.matmul(Jw.T, J, precision=_HI)  # (6,6)
+        b = jnp.matmul(Jw.T, r, precision=_HI)  # (6,)
         A = A + 1e-8 * jnp.eye(6, dtype=src.dtype)
         x = -jnp.linalg.solve(A, b)
         delta = jnp.eye(4, dtype=src.dtype)
         delta = delta.at[:3, :3].set(so3_exp_map(x[None, :3])[0])
         delta = delta.at[:3, 3].set(x[3:])
-        new_tf = delta @ tf
+        new_tf = jnp.matmul(delta, tf, precision=_HI)
 
         n_in = jnp.sum(w)
         fitness = n_in / n_src
@@ -214,8 +219,8 @@ def _improve_and_raytrace_body(src, src_mask, tgt, tgt_normals, tgt_mask, init_t
 
     best_tf = tf_all[best]  # source->target (scene->object)
     obj_in_scene = jnp.linalg.inv(best_tf)
-    M = inv_color_to_depth @ obj_in_scene
-    tri_w = jnp.einsum("ij,tkj->tki", M[:3, :3], mesh_tri) + M[:3, 3]
+    M = jnp.matmul(inv_color_to_depth, obj_in_scene, precision=_HI)
+    tri_w = jnp.einsum("ij,tkj->tki", M[:3, :3], mesh_tri, precision=_HI) + M[:3, 3]
     origins = jnp.zeros_like(ray_dirs)
     t_hit = ray_mesh_intersect(origins, ray_dirs, ray_mask, tri_w, mesh_tri_mask)
     return tf_all, fit, rmse, best, t_hit
@@ -288,17 +293,18 @@ def capture_from_pose(src, src_mask, tgt, tgt_normals, tgt_mask,
     (identity first row = the unperturbed seed).  Other args as
     improve_and_raytrace.  Returns (tf_all, fit, rmse, best, t_hit).
     """
-    pose_orig = pose_dev.reshape(4, 4) @ tf_to_centered  # original mesh frame
+    pose_orig = jnp.matmul(pose_dev.reshape(4, 4), tf_to_centered,
+                           precision=_HI)  # original mesh frame
     pose_mm = pose_orig.at[:3, 3].multiply(1000.0)  # meters -> mm (ICP frame)
-    cap_tf = color_to_depth @ pose_mm  # object-in-scene, depth cam
+    cap_tf = jnp.matmul(color_to_depth, pose_mm, precision=_HI)  # object-in-scene, depth cam
     # source->target ICP init: rigid inverse (R^T, -R^T t) — exact for the
     # rigid cap_tf where a general f32 LU inverse loses ~1e-4 relative on a
     # ~500 mm translation
     Rt = cap_tf[:3, :3].T
     eval_tf = jnp.eye(4, dtype=cap_tf.dtype)
     eval_tf = eval_tf.at[:3, :3].set(Rt)
-    eval_tf = eval_tf.at[:3, 3].set(-Rt @ cap_tf[:3, 3])
-    init_tfs = jnp.einsum("kij,jl->kil", noise_tfs, eval_tf)
+    eval_tf = eval_tf.at[:3, 3].set(-jnp.matmul(Rt, cap_tf[:3, 3], precision=_HI))
+    init_tfs = jnp.einsum("kij,jl->kil", noise_tfs, eval_tf, precision=_HI)
     return _improve_and_raytrace_body(
         src, src_mask, tgt, tgt_normals, tgt_mask, init_tfs, max_dists,
         eval_tf, eval_dist, mesh_tri, mesh_tri_mask, ray_dirs, ray_mask,

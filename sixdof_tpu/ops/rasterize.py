@@ -331,13 +331,18 @@ def render_batch(
     light = light / jnp.linalg.norm(light)
 
     def vertex_setup(pose, crop_tf):
+        # vertex/projection math in full fp32 (precision=_HI): the TPU's
+        # default bf16 matmul passes jitter projected vertices ~0.4 px and
+        # camera-frame positions ~2 mm, which the analytic depth consumers
+        # (scorer, track polish) can feel
+        _HI = jax.lax.Precision.HIGHEST
         R, t = pose[:3, :3], pose[:3, 3]
-        p_cam = mesh.pos @ R.T + t  # (V,3)
+        p_cam = jnp.matmul(mesh.pos, R.T, precision=_HI) + t  # (V,3)
         z = p_cam[:, 2]
-        uvw = p_cam @ K.T  # (V,3)
+        uvw = jnp.matmul(p_cam, K.T, precision=_HI)  # (V,3)
         uv = uvw[:, :2] / jnp.maximum(uvw[:, 2:3], znear)
         uvh = jnp.concatenate([uv, jnp.ones_like(uv[:, :1])], axis=-1)
-        uv_crop = (uvh @ crop_tf.T)[:, :2]
+        uv_crop = jnp.matmul(uvh, crop_tf.T, precision=_HI)[:, :2]
         return p_cam, z, uv_crop
 
     T = mesh.faces.shape[0]
@@ -400,8 +405,9 @@ def render_batch(
         # xyz by backprojection: uv_crop = (crop_tf @ K) xyz/z, so
         # xyz = z * (crop_tf @ K)^-1 (px,py,1) — exact at pixel centers,
         # no interpolation table needed
-        Minv = jnp.linalg.inv(crop_tf @ K)
-        ray = jnp.stack([px, py, jnp.ones_like(px)], axis=-1) @ Minv.T  # (P,3)
+        Minv = jnp.linalg.inv(jnp.matmul(crop_tf, K, precision=jax.lax.Precision.HIGHEST))
+        ray = jnp.matmul(jnp.stack([px, py, jnp.ones_like(px)], axis=-1), Minv.T,
+                         precision=jax.lax.Precision.HIGHEST)  # (P,3)
         xyz = (ray * zb[:, None]).reshape(H, W, 3)
 
         color = jnp.clip(color, 0.0, 1.0) * alpha[..., None]
