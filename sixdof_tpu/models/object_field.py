@@ -796,15 +796,20 @@ class ObjectFieldRunner:
 
 
 def run_neural_object_field(cfg: ObjectFieldConfig, K, rgbs, depths, masks, cam_in_obs,
-                            resolution=128, train_steps=None, ckpt_dir=None):
+                            resolution=128, train_steps=None, ckpt_dir=None,
+                            spec: HashGridSpec = None):
     """One-call model-free mesh creation (reference run_nerf.py:18-46).
 
     @ckpt_dir: when given, weights are saved BEFORE mesh extraction — a
     campaign's training result survives any extraction-stage failure (the
-    r4 TPU campaign lost 1000 steps to an extraction-time crash)."""
+    r4 TPU campaign lost 1000 steps to an extraction-time crash).
+    @spec: optional hash-grid spec override (the r5 ablation runs the
+    campaign at log2=19: 52 MB table, ~25% faster step, quality gated by
+    the chamfer check)."""
     import time as _time
 
-    runner = ObjectFieldRunner(cfg, K, rgbs, depths, masks, cam_in_obs)
+    runner = ObjectFieldRunner(cfg, K, rgbs, depths, masks, cam_in_obs,
+                               spec=spec or HashGridSpec())
     t0 = _time.perf_counter()
     losses = runner.train(train_steps, ckpt_dir=ckpt_dir)
     # train() syncs at the end (loss readback), so this is honest wall time;

@@ -74,10 +74,14 @@ def main(scene_dir, out_mesh=None, steps=1000, resolution=128):
             masks.append(m.astype(np.uint8))
 
     cfg = ObjectFieldConfig(n_step=steps)
+    # FIELD_LOG2 overrides the hash-table size (r5 ablation: 19 -> 52 MB
+    # table + ~25% faster step; chamfer gate below arbitrates quality)
+    spec = HashGridSpec(log2_hashmap_size=int(os.environ["FIELD_LOG2"])) \
+        if os.environ.get("FIELD_LOG2") else HashGridSpec()
     mesh, runner = run_neural_object_field(
         cfg, np.asarray(reader.color_K), np.stack(rgbs), np.stack(depths),
         np.stack(masks), np.stack(cam_in_obs), resolution=resolution,
-        train_steps=steps, ckpt_dir=f"{scene_dir}/field_ckpt",
+        train_steps=steps, ckpt_dir=f"{scene_dir}/field_ckpt", spec=spec,
     )
     out_mesh = out_mesh or f"{scene_dir}/mesh/model_free.obj"
     save_mesh(out_mesh, mesh)
@@ -88,6 +92,10 @@ def main(scene_dir, out_mesh=None, steps=1000, resolution=128):
     import json
 
     result = {"scene": os.path.basename(scene_dir.rstrip("/")), "steps": steps,
+              "resumed_from_ckpt": False,  # single-session run (this tool
+              # trains from scratch; tools/extract_field_mesh.py is the
+              # checkpoint-recovery path and stamps True)
+              "log2_hashmap_size": int(spec.log2_hashmap_size),
               "mesh": out_mesh, "n_vertices": int(len(mesh.vertices)),
               "train_s": round(getattr(runner, "train_seconds", -1.0), 1),
               "step_s": round(getattr(runner, "train_seconds", -1.0) / max(steps, 1), 3),
