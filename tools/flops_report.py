@@ -2,7 +2,7 @@
 
 Counts the XLA-estimated FLOPs of the two production dispatches — the fused
 register cascade and the fused track step — at the bench shapes, by lowering
-the exact call the estimator makes (args captured via a recording shim) and
+the exact call the estimator's AOT path lowers and
 running HLO cost analysis.  No TPU needed: lowering is backend-independent
 tracing, so this runs on the CPU backend in seconds and writes FLOPS.json,
 which bench.py folds into MFU fields (measured seconds / counted FLOPs vs
@@ -24,23 +24,6 @@ sys.path.insert(0, REPO)
 from sixdof_tpu.utils import force_cpu  # noqa: E402
 
 force_cpu()  # tracing/cost analysis only — never occupy the TPU for this
-
-
-class _Captured(Exception):
-    pass
-
-
-def _capture_call(module, name):
-    """Swap module.<name> for a shim that records (args, kwargs) and raises."""
-    orig = getattr(module, name)
-    box = {}
-
-    def shim(*args, **kwargs):
-        box["args"], box["kwargs"] = args, kwargs
-        raise _Captured()
-
-    setattr(module, name, shim)
-    return orig, box
 
 
 def _flops_of(jit_fn, args, kwargs):
@@ -95,29 +78,44 @@ def main(scene_dir=None, shorter_side=288):
     out = {"scene": os.path.basename(scene_dir), "shorter_side": shorter_side,
            "prune_to": 64, "n_hypotheses": int(len(est.rot_grid))}
 
-    # ---- register cascade: capture the exact fused call, lower, count ----
-    orig, box = _capture_call(predict, "register_pipeline_jit")
-    try:
-        est.register(K=reader.color_K, rgb=color, depth=depth, ob_mask=mask, iteration=5)
-    except _Captured:
-        pass
-    finally:
-        setattr(predict, "register_pipeline_jit", orig)
-    flops, detail = _flops_of(orig, box["args"], box["kwargs"])
+    # ---- register cascade: build the exact fused-call args the estimater's
+    # AOT path lowers (the old monkeypatch-capture broke once register()
+    # started calling compiled executables directly) ----
+    import jax.numpy as _jnp
+
+    from sixdof_tpu.models.predict import pack_rgbd, to_rgb01
+    from sixdof_tpu.ops.depth_filter import bilateral_filter_depth, erode_depth
+
+    depth_f = bilateral_filter_depth(
+        erode_depth(_jnp.asarray(depth, _jnp.float32), radius=2), radius=2)
+    hypo = est.generate_random_pose_hypo(K=reader.color_K, rgb=color,
+                                         depth=np.asarray(depth_f), mask=mask)
+    reg_args = (est.refiner.model, est.refiner.params, est.scorer.model,
+                est.scorer.params, est.mesh_tensors,
+                _jnp.asarray(hypo, _jnp.float32), to_rgb01(color), depth_f,
+                _jnp.asarray(reader.color_K, _jnp.float32),
+                *est._register_scalar_args())
+    flops, detail = _flops_of(predict.register_pipeline_jit, reg_args,
+                              est._register_pipeline_kwargs(5))
     out["register_flops"] = flops
     out["register_cost"] = detail
 
-    # ---- track step: needs pose_last; seed it without running register ----
-    est.pose_last = np.eye(4, dtype=np.float32)
-    est.pose_last[2, 3] = 0.55
-    orig, box = _capture_call(predict, "track_pose_jit")
-    try:
-        est.track_one(rgb=color, depth=depth, K=reader.color_K, iteration=2)
-    except _Captured:
-        pass
-    finally:
-        setattr(predict, "track_pose_jit", orig)
-    flops, detail = _flops_of(orig, box["args"], box["kwargs"])
+    # ---- track step (full-frame shape, the bench's steady-state program) --
+    rgb_u8 = np.ascontiguousarray(color.astype(np.uint8))
+    d_u16 = np.clip(np.asarray(depth) * 1000.0, 0, 65535).astype(np.uint16)
+    rgbd = pack_rgbd(rgb_u8, np.ascontiguousarray(d_u16))
+    ref = est.refiner
+    track_args = (ref.model, ref.params, est.mesh_tensors,
+                  _jnp.zeros((1, 4, 4), _jnp.float32), _jnp.asarray(rgbd),
+                  _jnp.asarray(reader.color_K, _jnp.float32),
+                  *est._register_scalar_args())
+    track_kwargs = dict(iterations=2, out_hw=tuple(ref.cfg["input_resize"]),
+                        normalize_xyz=bool(ref.cfg["normalize_xyz"]),
+                        trans_rep=ref.cfg["trans_rep"], rot_rep=ref.cfg["rot_rep"],
+                        backface_cull=est.backface_cull,
+                        occ_sub=ref.cfg.get("occ_sub", False),
+                        **est._track_polish_kwargs())
+    flops, detail = _flops_of(predict.track_pose_jit, track_args, track_kwargs)
     out["track_flops"] = flops
     out["track_cost"] = detail
 
