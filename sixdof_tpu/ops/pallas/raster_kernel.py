@@ -9,7 +9,10 @@ accumulators in VMEM *scratch* across the tri-chunk grid dimension and writes
 each (pose, pixel-tile) result exactly once:
 
   grid = (pose, pixel_tile, tri_chunk)   [tri_chunk fastest]
-  - per step: one (4C,3)x(3,TILE) matmul (MXU) + VPU inside/min/select
+  - per step: VPU broadcast plane evals + fused inside test + max-inv-z
+    select (z = 1/iz is monotone, so accumulating max iz gives the same
+    winner while deferring the expensive reciprocal to one (1,TILE) op at
+    the final chunk)
   - accumulators never round-trip HBM; outputs are written at the last chunk
   - triangle validity is folded into the plane coefficients at setup
     (invalid rows evaluate to "never inside"), so the kernel is branch-free.
@@ -24,6 +27,7 @@ Layout contract: coefficients arrive as (B, K, 4C, 3) with rows GROUPED
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -33,14 +37,29 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = 3.0e38  # python scalar: jnp constants would be captured tracers
 
 
-def _kernel(cnt_ref, coef_ref, z_out, tid_out, z_acc, tid_acc, *, C, TILE, W, K, NT):
+def _kernel(cnt_ref, coef_ref, z_out, tid_out, iz_acc, tid_acc, pxy, *, C, TILE, W, K, NT,
+            mxu=False):
     b = pl.program_id(0)
     t = pl.program_id(1)
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
-        z_acc[...] = jnp.full((1, TILE), _BIG, dtype=jnp.float32)
+        # pixel coordinates are a function of (t) only — compute once per
+        # (pose, tile) instead of per tri-chunk and park them in scratch.
+        # In mxu form the scratch holds the full (8, TILE) pixel matrix
+        # [px; py; 1; 0...] so the chunk step is a single dot_general.
+        pid = t * TILE + jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
+        pxy[0:1] = (pid % W).astype(jnp.float32)
+        pxy[1:2] = (pid // W).astype(jnp.float32)
+        if mxu:
+            pxy[2:3] = jnp.ones((1, TILE), jnp.float32)
+            pxy[3:8] = jnp.zeros((5, TILE), jnp.float32)
+        # accumulate MAX inverse-z, not min z: 1/iz is monotone, so the
+        # winner is identical, but the (C,TILE) reciprocal the old min-z
+        # form paid per chunk collapses to ONE (1,TILE) reciprocal at the
+        # final chunk (divides are the VPU's slowest lane op)
+        iz_acc[...] = jnp.zeros((1, TILE), dtype=jnp.float32)
         tid_acc[...] = jnp.full((1, TILE), -1, dtype=jnp.int32)
 
     # banded candidate lists are front-packed: chunks beyond this tile's
@@ -48,48 +67,62 @@ def _kernel(cnt_ref, coef_ref, z_out, tid_out, z_acc, tid_acc, *, C, TILE, W, K,
     # (cnt arrives via scalar prefetch, flat (B*NT,))
     @pl.when(k * C < cnt_ref[b * NT + t])
     def _():
-        pid = t * TILE + jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
-        px = (pid % W).astype(jnp.float32)
-        py = (pid // W).astype(jnp.float32)
-
         # operand blocks are component-major (8, 4C) — minor dim 4C is
         # lane-aligned, so the HBM array is DENSE.  The previous (4C, 3)
         # layout padded the minor dim 3 -> 128 lanes in HBM (T(8,128)
         # tiling): a 42x footprint/traffic blowup that OOM'd the banded
-        # path at T=5k x B=252 (27.7 GB for a 650 MB table).  One small
-        # (8,4C)->(4C,8) tile transpose per chunk buys back the layout.
-        c = jnp.transpose(coef_ref[0, 0, 0])  # (4C, 8); cols 0..2 live
-        # elementwise plane evaluation: exact fp32 on the VPU.  A dot_general
-        # here would multiply in bf16 on the MXU, and thin triangles carry
-        # huge coefficients (1/area), so bf16 edge error reaches O(1)
-        # barycentric units.
-        vals = c[:, 0:1] * px + c[:, 1:2] * py + c[:, 2:3]  # (4C, TILE)
+        # path at T=5k x B=252 (27.7 GB for a 650 MB table).
+        if mxu:
+            # vals[i,j] = sum_k coef[k,i] * P[k,j]: contract the stored
+            # (8,4C) block against the (8,TILE) pixel matrix directly — no
+            # transpose, no (4C,1)->(4C,TILE) lane broadcasts.  Precision
+            # HIGHEST runs the MXU's 6-pass bf16 f32 emulation: thin
+            # triangles carry huge coefficients (1/area), so plain bf16
+            # edge error reaches O(1) barycentric units (measured), but the
+            # 6-pass split recovers ~f32 mantissa coverage.
+            vals = jax.lax.dot_general(
+                coef_ref[0, 0, 0], pxy[...],
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (4C, TILE)
+        else:
+            px = pxy[0:1]
+            py = pxy[1:2]
+            # One small (8,4C)->(4C,8) tile transpose per chunk buys back
+            # the dense layout; plane evaluation is exact fp32 on the VPU.
+            c = jnp.transpose(coef_ref[0, 0, 0])  # (4C, 8); cols 0..2 live
+            vals = c[:, 0:1] * px + c[:, 1:2] * py + c[:, 2:3]  # (4C, TILE)
         l0 = vals[0:C]
         l1 = vals[C : 2 * C]
         l2 = vals[2 * C : 3 * C]
         iz = vals[3 * C : 4 * C]
-        inside = (l0 >= 0) & (l1 >= 0) & (l2 >= 0) & (iz > 1e-12)
-        z = jnp.where(inside, 1.0 / jnp.maximum(iz, 1e-12), _BIG)  # (C,TILE)
+        # inside <=> min(l0,l1,l2) >= 0: two mins + one compare replace
+        # three compares + two ands
+        m3 = jnp.minimum(l0, jnp.minimum(l1, l2))
+        key = jnp.where((m3 >= 0) & (iz > 1e-12), iz, -1.0)  # (C,TILE)
 
-        zmin = jnp.min(z, axis=0, keepdims=True)  # (1,TILE)
+        izmax = jnp.max(key, axis=0, keepdims=True)  # (1,TILE)
         idx = jax.lax.broadcasted_iota(jnp.int32, (C, TILE), 0)
-        cand = jnp.where(z <= zmin, idx, jnp.int32(2**30))
+        cand = jnp.where(key >= izmax, idx, jnp.int32(2**30))
         tbest = jnp.min(cand, axis=0, keepdims=True)  # (1,TILE)
 
-        closer = (zmin < z_acc[...]) & (zmin < _BIG)
-        z_acc[...] = jnp.where(closer, zmin, z_acc[...])
+        # strict >: earlier chunks win exact-iz ties (matches min-z form)
+        closer = izmax > iz_acc[...]
+        iz_acc[...] = jnp.where(closer, izmax, iz_acc[...])
         tid_acc[...] = jnp.where(closer, k * C + tbest, tid_acc[...])
 
     @pl.when(k == K - 1)
     def _():
         miss = tid_acc[...] < 0
-        z_out[0, 0] = jnp.where(miss, 0.0, z_acc[...])
+        z_out[0, 0] = jnp.where(miss, 0.0, 1.0 / jnp.maximum(iz_acc[...], 1e-12))
         tid_out[0, 0] = tid_acc[...]
 
 
-@functools.partial(jax.jit, static_argnames=("H", "W", "tri_chunk", "tile", "interpret"))
+@functools.partial(jax.jit, static_argnames=("H", "W", "tri_chunk", "tile", "interpret",
+                                             "mxu"))
 def rasterize_zbuffer_pallas(coef_grouped, H, W, tri_chunk=128, tile=2048, interpret=False,
-                             counts=None):
+                             counts=None, mxu=None):
     """@coef_grouped: (B, K, 8, 4C) grouped plane coefficients, or
     (B, n_tiles, K, 8, 4C) per-pixel-tile (banded) coefficients — in the
     banded form, pixel tile t only tests its own candidate chunks (the tile
@@ -103,6 +136,10 @@ def rasterize_zbuffer_pallas(coef_grouped, H, W, tri_chunk=128, tile=2048, inter
     Returns (zbuf (B, H*W) [0 where miss], tid (B, H*W) int32 [-1 = miss]).
     In the banded form tid indexes the tile's LOCAL candidate list.
     """
+    if mxu is None:
+        # experiment toggle (resolved at trace time; static per jit cache key):
+        # evaluate the chunk planes on the MXU instead of VPU broadcasts
+        mxu = os.environ.get("SIXDOF_RASTER_MXU", "0") == "1"
     banded = coef_grouped.ndim == 5
     if not banded:
         B, K, _, C4 = coef_grouped.shape
@@ -144,10 +181,12 @@ def rasterize_zbuffer_pallas(coef_grouped, H, W, tri_chunk=128, tile=2048, inter
         scratch_shapes=[
             pltpu.VMEM((1, tile), jnp.float32),
             pltpu.VMEM((1, tile), jnp.int32),
+            # px/py rows; the mxu form fills all 8 rows ([px; py; 1; 0..])
+            pltpu.VMEM((8, tile), jnp.float32),
         ],
     )
     zbuf, tid = pl.pallas_call(
-        functools.partial(_kernel, C=C, TILE=tile, W=W, K=K, NT=n_tiles),
+        functools.partial(_kernel, C=C, TILE=tile, W=W, K=K, NT=n_tiles, mxu=mxu),
         grid_spec=grid_spec,
         out_shape=[
             # trailing (1, tile) block dims satisfy Mosaic (dim==array dim)
